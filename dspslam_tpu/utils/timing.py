@@ -1,0 +1,50 @@
+"""Stage timing with explicit device synchronization.
+
+Replaces the reference's `torch.cuda.synchronize(); time.time()` pattern
+(loss_utils.py:268-273) and the per-stage chrono prints (dsp_slam.cc:
+76-115) with a reusable accumulator that reports median/mean per stage.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+import jax
+import numpy as np
+
+
+class StageTimer:
+    def __init__(self):
+        self.samples = defaultdict(list)
+
+    @contextlib.contextmanager
+    def stage(self, name: str, sync: object = None):
+        """Time a block; pass a jax array as `sync` to block on it at exit."""
+        t0 = time.perf_counter()
+        out = {}
+        try:
+            yield out
+        finally:
+            target = out.get("sync", sync)
+            if target is not None:
+                jax.block_until_ready(target)
+            self.samples[name].append(time.perf_counter() - t0)
+
+    def report(self) -> dict:
+        return {
+            name: {
+                "median_ms": float(np.median(v) * 1e3),
+                "mean_ms": float(np.mean(v) * 1e3),
+                "count": len(v),
+            }
+            for name, v in self.samples.items()
+        }
+
+    def __str__(self):
+        rows = [
+            f"{name:30s} median {s['median_ms']:8.2f} ms  mean {s['mean_ms']:8.2f} ms  n={s['count']}"
+            for name, s in sorted(self.report().items())
+        ]
+        return "\n".join(rows)
