@@ -29,7 +29,10 @@ class StageTimer:
         finally:
             target = out.get("sync", sync)
             if target is not None:
-                jax.block_until_ready(target)
+                # device_get, not block_until_ready: on some remote TPU
+                # backends (axon relay) only a host fetch truly awaits
+                # execution.
+                jax.device_get(target)
             self.samples[name].append(time.perf_counter() - t0)
 
     def report(self) -> dict:
