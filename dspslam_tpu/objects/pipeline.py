@@ -1,0 +1,203 @@
+"""Per-keyframe object pipeline: associate -> pose-only GN -> full recon.
+
+Host orchestration of the reference's LocalMapping object stages
+(/root/reference/src/LocalMapping.cc:89-107 + LocalMapping_util.cc):
+
+* GetNewObservations: for detections associated to existing objects, run
+  the pose-only SE(3) GN ICP against the object's current shape code and
+  classify static/dynamic from the measured motion
+  (LocalMapping_util.cc:84-154);
+* CreateNewMapObjects: for unassociated detections, run the full joint
+  Sim(3)+code Gauss-Newton and register a new MapObject with an extracted
+  mesh (LocalMapping_util.cc:156-205).
+
+All new-object reconstructions of a keyframe run as ONE batched device
+program (shape.gn.batched_reconstruct) — the reference loops objects
+sequentially through CUDA.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..shape import gn, mesh as mesh_mod
+from ..slam.map import Map, MapObject
+from . import association
+from .detections import Detection, pad_detections
+
+MIN_PTS_RECON = 50
+CULL_MIN_OBS = 2          # objects seen fewer times within window get culled
+CULL_WINDOW_KFS = 10
+
+
+class ObjectPipeline:
+    def __init__(
+        self,
+        slam_map: Map,
+        decoder_fn,
+        decoder_params,
+        gn_config: gn.GNConfig,
+        max_detections: int = 8,
+        max_surface_points: int = 256,
+        max_rays: int = 512,
+        extract_meshes: bool = True,
+        voxels_dim: int = 32,
+    ):
+        self.map = slam_map
+        self.decoder_fn = decoder_fn
+        self.decoder_params = decoder_params
+        self.cfg = gn_config
+        self.caps = (max_detections, max_surface_points, max_rays)
+        self.batched_recon = gn.batched_reconstruct(decoder_fn, gn_config)
+        self.extract_meshes = extract_meshes
+        self.mesher = mesh_mod.MeshExtractor(
+            decoder_fn, decoder_params, gn_config.code_len, voxels_dim
+        )
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, kf, local_kf_ids: list[int]):
+        """Run association + measurement GN + new-object reconstruction."""
+        if not kf.detections:
+            return
+        local_objects = self._local_objects(local_kf_ids)
+        assoc, new_idx, bad_idx = association.associate_detections_centroid(
+            kf, local_objects, kf.T_cw
+        )
+        self._measure_associated(kf, assoc)
+        self._reconstruct_new(kf, [i for i in new_idx if i not in bad_idx])
+        self._cull_objects(kf)
+
+    def _local_objects(self, kf_ids):
+        objs, seen = [], set()
+        for kf_id in kf_ids:
+            kf = self.map.keyframes.get(kf_id)
+            if kf is None:
+                continue
+            for obj_id in kf.object_associations.values():
+                if obj_id in seen:
+                    continue
+                seen.add(obj_id)
+                obj = self.map.objects.get(obj_id)
+                if obj is not None and not obj.bad:
+                    objs.append(obj)
+        return objs
+
+    # ------------------------------------------------------------------
+    def _measure_associated(self, kf, assoc):
+        """Pose-only GN per associated detection -> SE3 T_co measurement."""
+        T_wc = np.linalg.inv(kf.T_cw)
+        for det_idx, obj in assoc.items():
+            det: Detection = kf.detections[det_idx]
+            if det.num_surface_points < association.MIN_PTS_ASSOCIATED:
+                continue
+            P = self.caps[1]
+            pts = np.zeros((P, 3), np.float32)
+            mask = np.zeros(P, np.float32)
+            n = min(det.num_surface_points, P)
+            pts[:n] = det.surface_points[:n]
+            mask[:n] = 1.0
+            # initialize from the object's map pose seen from this camera
+            T_co_init = kf.T_cw @ obj.T_wo_se3
+            out = gn.estimate_pose_cam_obj(
+                self.decoder_fn, self.cfg, self.decoder_params,
+                jnp.asarray(T_co_init.astype(np.float32)),
+                jnp.float32(obj.scale),
+                jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(obj.code),
+            )
+            T_co = np.asarray(out["t_cam_obj"])
+            if not np.all(np.isfinite(T_co)):
+                continue
+            det.T_co_se3_measured = T_co
+            moved = association.classify_motion(
+                obj, T_co, kf.T_cw, frame_gap=1.0
+            )
+            if not moved:
+                # refine the map object's SE3 pose from this measurement
+                T_wo_se3 = T_wc @ T_co
+                obj.set_pose_se3(T_wo_se3.astype(np.float32))
+            obj.n_observed += 1
+
+    # ------------------------------------------------------------------
+    def _reconstruct_new(self, kf, new_indices):
+        """Batched joint GN on all new detections of this keyframe."""
+        dets = []
+        det_map = []
+        for i in new_indices:
+            det: Detection = kf.detections[i]
+            if (
+                det.is_front
+                and det.rays is not None
+                and det.num_surface_points >= MIN_PTS_RECON
+            ):
+                dets.append(det)
+                det_map.append(i)
+        if not dets:
+            return
+        B, P, R = self.caps
+        batch = pad_detections(dets, B, P, R)
+        out = self.batched_recon(
+            self.decoder_params,
+            jnp.asarray(batch["t_cam_obj"]),
+            jnp.asarray(batch["pts"]),
+            jnp.asarray(batch["pts_mask"]),
+            jnp.asarray(batch["rays"]),
+            jnp.asarray(batch["ray_mask"]),
+            jnp.asarray(batch["depth"]),
+            jnp.asarray(batch["fg_mask"]),
+            jnp.zeros((B, self.cfg.code_len)),
+        )
+        t_cam_obj = np.asarray(out["t_cam_obj"])
+        codes = np.asarray(out["code"])
+        good = np.asarray(out["is_good"])
+        T_wc = np.linalg.inv(kf.T_cw)
+        for slot, det_idx in enumerate(det_map[:B]):
+            if not good[slot] or not np.all(np.isfinite(t_cam_obj[slot])):
+                continue
+            T_wo = (T_wc @ t_cam_obj[slot]).astype(np.float32)
+            obj = MapObject(T_wo, codes[slot], kf.id)
+            obj.observations[kf.id] = det_idx
+            kf.object_associations[det_idx] = obj.id
+            kf.detections[det_idx].T_co_se3_measured = self._se3_of(
+                t_cam_obj[slot]
+            )
+            self.map.add_object(obj)
+            self._tag_member_points(kf, det_idx, obj)
+            if self.extract_meshes:
+                m = self.mesher.extract_mesh_from_code(obj.code)
+                obj.vertices, obj.faces = m["vertices"], m["faces"]
+
+    @staticmethod
+    def _se3_of(T_sim3):
+        s = np.linalg.det(T_sim3[:3, :3]) ** (1.0 / 3.0)
+        T = T_sim3.copy()
+        T[:3, :3] /= s
+        return T.astype(np.float32)
+
+    def _tag_member_points(self, kf, det_idx, obj):
+        """Mark map points inside the detection mask as object members
+        (mono association support, MapPoint.h:85-88)."""
+        det = kf.detections[det_idx]
+        if det.mask is None:
+            return
+        h, w = det.mask.shape
+        for kp_i in np.nonzero(kf.map_point_ids >= 0)[0]:
+            x, y = kf.feats["xy"][kp_i].astype(np.int64)
+            if 0 <= x < w and 0 <= y < h and det.mask[y, x]:
+                p = self.map.points.get(int(kf.map_point_ids[kp_i]))
+                if p is not None and not p.in_any_object:
+                    p.in_any_object = True
+                    p.object_id = obj.id
+                    p.keyframe_id_added_to_object = kf.id
+                    obj.point_ids.add(p.id)
+
+    # ------------------------------------------------------------------
+    def _cull_objects(self, kf):
+        """Drop stale low-evidence objects (MapObjectCulling rules,
+        LocalMapping_util.cc:29-82)."""
+        for obj in list(self.map.objects.values()):
+            if obj.bad or obj.dynamic:
+                continue
+            age = kf.id - obj.ref_kf_id
+            if age >= CULL_WINDOW_KFS and len(obj.observations) < CULL_MIN_OBS:
+                self.map.erase_object(obj.id)

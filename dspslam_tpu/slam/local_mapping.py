@@ -1,0 +1,224 @@
+"""Local mapping stage: point culling + windowed (joint) bundle adjustment.
+
+Cooperative-stage re-design of the reference's LocalMapping thread
+(/root/reference/src/LocalMapping.cc:55-140): each new keyframe is
+processed synchronously by the host loop — covisibility bookkeeping,
+map-point culling, the object pipeline (associate/measure/reconstruct),
+then a local *joint* bundle adjustment over the covisibility window with
+camera-object edges (Optimizer_util.cc:309-771) as one jitted device
+program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..backend import ba
+from .map import KeyFrame, Map
+
+BA_KF_CAP = 10
+BA_PT_CAP = 2048
+BA_OBS_CAP = 8192
+BA_OBJ_CAP = 8
+BA_EDGE_CAP = 32
+
+
+@dataclasses.dataclass
+class LocalMapperConfig:
+    fx: float = 707.0912
+    fy: float = 707.0912
+    cx: float = 601.8873
+    cy: float = 183.1104
+    bf: float = 379.8145
+    cull_found_ratio: float = 0.25
+    cull_min_obs: int = 2
+    window: int = BA_KF_CAP
+
+
+class LocalMapper:
+    def __init__(self, slam_map: Map, cfg: LocalMapperConfig,
+                 object_pipeline=None):
+        self.map = slam_map
+        self.cfg = cfg
+        self.object_pipeline = object_pipeline
+        self.recent_points: list[tuple[int, int]] = []  # (point_id, birth_kf)
+
+    @property
+    def intrinsics(self):
+        c = self.cfg
+        return jnp.asarray([c.fx, c.fy, c.cx, c.cy, c.bf])
+
+    # ------------------------------------------------------------------
+    def process(self, kf: KeyFrame):
+        self.map.update_covisibility(kf)
+        self._cull_points(kf)
+        if self.object_pipeline is not None:
+            local_ids = self.map.local_keyframes(kf, self.cfg.window)
+            self.object_pipeline.process_keyframe(kf, local_ids)
+        self.local_bundle_adjust(kf)
+
+    # ------------------------------------------------------------------
+    def _cull_points(self, kf: KeyFrame):
+        """Recent-point culling (LocalMapping::MapPointCulling)."""
+        survivors = []
+        for p_id, birth in self.recent_points:
+            p = self.map.points.get(p_id)
+            if p is None or p.bad:
+                continue
+            age = kf.id - birth
+            if p.found_ratio() < self.cfg.cull_found_ratio:
+                self.map.erase_point(p_id)
+            elif age >= 2 and p.n_obs < self.cfg.cull_min_obs:
+                self.map.erase_point(p_id)
+            elif age < 3:
+                survivors.append((p_id, birth))
+        self.recent_points = survivors
+
+    def register_new_points(self, point_ids, birth_kf_id):
+        self.recent_points.extend((p, birth_kf_id) for p in point_ids)
+
+    # ------------------------------------------------------------------
+    def local_bundle_adjust(self, kf: KeyFrame):
+        """Pack the covisibility window and run the device BA."""
+        window_ids = self.map.local_keyframes(kf, self.cfg.window - 1)[: BA_KF_CAP]
+        if len(window_ids) < 2:
+            return
+        kf_slot = {kf_id: i for i, kf_id in enumerate(window_ids)}
+        K = BA_KF_CAP
+        kf_poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        kf_fixed = np.ones(K, np.float32)     # padded slots held fixed
+        for kf_id, i in kf_slot.items():
+            kf_poses[i] = self.map.keyframes[kf_id].T_cw
+            kf_fixed[i] = 0.0
+        # gauge: fix the oldest keyframe in the window (and KF 0 if present)
+        oldest = min(window_ids)
+        kf_fixed[kf_slot[oldest]] = 1.0
+        if 0 in kf_slot:
+            kf_fixed[kf_slot[0]] = 1.0
+
+        # collect points observed by the window
+        pt_ids = self.map.points_seen_by(window_ids)[: BA_PT_CAP]
+        pt_slot = {p_id: i for i, p_id in enumerate(pt_ids)}
+        P = BA_PT_CAP
+        points = np.zeros((P, 3), np.float32)
+        pt_valid = np.zeros(P, np.float32)
+        for p_id, i in pt_slot.items():
+            points[i] = self.map.points[p_id].position
+            pt_valid[i] = 1.0
+
+        O = BA_OBS_CAP
+        obs_kf = np.zeros(O, np.int32)
+        obs_pt = np.zeros(O, np.int32)
+        obs_uvr = np.zeros((O, 3), np.float32)
+        obs_stereo = np.zeros(O, np.float32)
+        obs_inv_s2 = np.ones(O, np.float32)
+        obs_valid = np.zeros(O, np.float32)
+        n_obs = 0
+        obs_refs = []    # (kf_id, kp_idx, p_id) for write-back of outliers
+        for p_id in pt_ids:
+            p = self.map.points[p_id]
+            for kf_id, kp_idx in p.observations.items():
+                if kf_id not in kf_slot or n_obs >= O:
+                    continue
+                okf = self.map.keyframes[kf_id]
+                obs_kf[n_obs] = kf_slot[kf_id]
+                obs_pt[n_obs] = pt_slot[p_id]
+                xy = okf.feats["xy"][kp_idx]
+                ur = okf.u_right[kp_idx] if okf.u_right is not None else -1.0
+                obs_uvr[n_obs, :2] = xy
+                if ur > 0:
+                    obs_uvr[n_obs, 2] = ur
+                    obs_stereo[n_obs] = 1.0
+                obs_inv_s2[n_obs] = 1.0 / okf.feats["sigma2"][kp_idx]
+                obs_valid[n_obs] = 1.0
+                obs_refs.append((kf_id, kp_idx, p_id))
+                n_obs += 1
+
+        if n_obs < 20:
+            return
+
+        # objects in the window -> joint BA edges
+        obj_state = None
+        obj_ids = []
+        for kf_id in window_ids:
+            okf = self.map.keyframes[kf_id]
+            for obj_id in okf.object_associations.values():
+                obj = self.map.objects.get(obj_id)
+                if (
+                    obj is not None and not obj.bad and not obj.dynamic
+                    and obj_id not in obj_ids
+                ):
+                    obj_ids.append(obj_id)
+        obj_ids = obj_ids[:BA_OBJ_CAP]
+        if obj_ids:
+            obj_slot = {o: i for i, o in enumerate(obj_ids)}
+            M, Q = BA_OBJ_CAP, BA_EDGE_CAP
+            obj_poses = np.tile(np.eye(4, dtype=np.float32), (M, 1, 1))
+            obj_fixed = np.ones(M, np.float32)
+            for o, i in obj_slot.items():
+                obj_poses[i] = self.map.objects[o].T_wo_se3
+                obj_fixed[i] = 0.0
+            edge_kf = np.zeros(Q, np.int32)
+            edge_obj = np.zeros(Q, np.int32)
+            edge_Tco = np.tile(np.eye(4, dtype=np.float32), (Q, 1, 1))
+            edge_valid = np.zeros(Q, np.float32)
+            qn = 0
+            for o in obj_ids:
+                obj = self.map.objects[o]
+                for kf_id, det_idx in obj.observations.items():
+                    if kf_id not in kf_slot or qn >= Q:
+                        continue
+                    det = self.map.keyframes[kf_id].detections[det_idx]
+                    T_co = getattr(det, "T_co_se3_measured", None)
+                    if T_co is None:
+                        continue
+                    edge_kf[qn] = kf_slot[kf_id]
+                    edge_obj[qn] = obj_slot[o]
+                    edge_Tco[qn] = T_co
+                    edge_valid[qn] = 1.0
+                    qn += 1
+            if qn > 0:
+                obj_state = {
+                    "poses": jnp.asarray(obj_poses),
+                    "fixed": jnp.asarray(obj_fixed),
+                    "edge_kf": jnp.asarray(edge_kf),
+                    "edge_obj": jnp.asarray(edge_obj),
+                    "edge_Tco": jnp.asarray(edge_Tco),
+                    "edge_valid": jnp.asarray(edge_valid),
+                }
+
+        out = ba.bundle_adjust(
+            jnp.asarray(kf_poses), jnp.asarray(kf_fixed), jnp.asarray(points),
+            jnp.asarray(pt_valid), jnp.asarray(obs_kf), jnp.asarray(obs_pt),
+            jnp.asarray(obs_uvr), jnp.asarray(obs_stereo),
+            jnp.asarray(obs_inv_s2), jnp.asarray(obs_valid), self.intrinsics,
+            1e-3, obj_state,
+        )
+
+        # write back
+        new_poses = np.asarray(out["kf_poses"])
+        for kf_id, i in kf_slot.items():
+            if kf_fixed[i] == 0.0:
+                self.map.keyframes[kf_id].T_cw = new_poses[i]
+        new_pts = np.asarray(out["points"])
+        for p_id, i in pt_slot.items():
+            self.map.points[p_id].position = new_pts[i]
+        inlier = np.asarray(out["obs_inlier"])
+        for i, (kf_id, kp_idx, p_id) in enumerate(obs_refs):
+            if obs_valid[i] > 0 and inlier[i] == 0:
+                p = self.map.points.get(p_id)
+                okf = self.map.keyframes.get(kf_id)
+                if p is not None and okf is not None:
+                    p.observations.pop(kf_id, None)
+                    if okf.map_point_ids[kp_idx] == p_id:
+                        okf.map_point_ids[kp_idx] = -1
+                    if p.n_obs == 0:
+                        self.map.erase_point(p_id)
+        if obj_state is not None:
+            new_obj = np.asarray(out["obj_poses"])
+            for o, i in obj_slot.items():
+                if obj_fixed[i] == 0.0:
+                    self.map.objects[o].set_pose_se3(new_obj[i])

@@ -1,0 +1,132 @@
+"""System facade: wiring tracker + local mapper + object pipeline + savers.
+
+The counterpart of the reference's System class (/root/reference/src/
+System.cc) minus the thread/GIL machinery: one host loop drives the
+stages per frame. Output artifacts reproduce the reference's three text
+formats byte-for-byte in layout (System_util.cc:108-149):
+MapPoints.txt (xyz per line), MapObjects.txt (id / 3x4 Sim(3) Two row /
+64-float code row), Cameras.txt (KITTI 3x4 T_wc rows, lost frames
+skipped).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..frontend import orb
+from .local_mapping import LocalMapper, LocalMapperConfig
+from .map import Map
+from .tracking import State, Tracker, TrackerConfig
+
+
+class SLAMSystem:
+    def __init__(
+        self,
+        tracker_cfg: TrackerConfig | None = None,
+        orb_params: orb.ORBParams | None = None,
+        object_pipeline_factory=None,
+        detection_source=None,
+    ):
+        self.map = Map()
+        self.tracker_cfg = tracker_cfg or TrackerConfig()
+        self.tracker = Tracker(
+            self.tracker_cfg, self.map, orb_params or orb.ORBParams()
+        )
+        lm_cfg = LocalMapperConfig(
+            fx=self.tracker_cfg.fx, fy=self.tracker_cfg.fy,
+            cx=self.tracker_cfg.cx, cy=self.tracker_cfg.cy,
+            bf=self.tracker_cfg.bf,
+        )
+        object_pipeline = (
+            object_pipeline_factory(self.map) if object_pipeline_factory else None
+        )
+        self.local_mapper = LocalMapper(self.map, lm_cfg, object_pipeline)
+        self.detection_source = detection_source   # fn(frame_idx) -> list[Detection]
+        self.frame_idx = 0
+
+    # ------------------------------------------------------------------
+    def track_stereo(self, img_l, img_r, timestamp: float):
+        frame = self.tracker.process_stereo(img_l, img_r, timestamp)
+        self._drain_keyframes()
+        self.frame_idx += 1
+        return frame
+
+    def track_rgbd(self, img, depth, timestamp: float):
+        frame = self.tracker.process_rgbd(img, depth, timestamp)
+        self._drain_keyframes()
+        self.frame_idx += 1
+        return frame
+
+    def _drain_keyframes(self):
+        while self.tracker.new_keyframes:
+            kf = self.tracker.new_keyframes.pop(0)
+            if self.detection_source is not None:
+                kf.detections = self.detection_source(self.frame_idx) or []
+            self.local_mapper.process(kf)
+
+    # ------------------------------------------------------------------
+    @property
+    def state(self):
+        return self.tracker.state
+
+    def keyframe_poses(self):
+        return {
+            kf_id: kf.T_cw.copy()
+            for kf_id, kf in sorted(self.map.keyframes.items())
+        }
+
+    # ------------------------------------------------------------------
+    # savers (System_util.cc:108-149 formats)
+    def save_map(self, out_dir: str):
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "MapPoints.txt"), "w") as f:
+            for p in self.map.points.values():
+                if p.bad:
+                    continue
+                f.write(
+                    f"{p.position[0]:.9f} {p.position[1]:.9f} {p.position[2]:.9f}\n"
+                )
+        with open(os.path.join(out_dir, "MapObjects.txt"), "w") as f:
+            for obj_id in sorted(self.map.objects):
+                obj = self.map.objects[obj_id]
+                if obj.bad or obj.dynamic:
+                    continue
+                f.write(f"{obj.id}\n")
+                Two = obj.T_wo
+                f.write(
+                    " ".join(f"{Two[i, j]:.9f}" for i in range(3) for j in range(4))
+                    + "\n"
+                )
+                f.write(" ".join(f"{c:.9f}" for c in obj.code) + "\n")
+        self.save_trajectory_kitti(os.path.join(out_dir, "Cameras.txt"))
+
+    def save_trajectory_kitti(self, path: str):
+        """KITTI format: 3x4 T_wc per tracked frame, lost frames skipped."""
+        with open(path, "w") as f:
+            for ts, T_cw, lost in self.tracker.trajectory:
+                if lost:
+                    continue
+                R = T_cw[:3, :3]
+                t = T_cw[:3, 3]
+                Rwc = R.T
+                twc = -Rwc @ t
+                vals = np.concatenate([Rwc, twc[:, None]], axis=1).reshape(-1)
+                f.write(" ".join(f"{v:.9f}" for v in vals) + "\n")
+
+    def save_trajectory_tum(self, path: str):
+        """TUM format: timestamp tx ty tz qx qy qz qw (System.cc:374-420)."""
+        from scipy.spatial.transform import Rotation
+
+        with open(path, "w") as f:
+            for ts, T_cw, lost in self.tracker.trajectory:
+                if lost:
+                    continue
+                R = T_cw[:3, :3].T
+                t = -R @ T_cw[:3, 3]
+                q = Rotation.from_matrix(R).as_quat()  # x, y, z, w
+                f.write(
+                    f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                )

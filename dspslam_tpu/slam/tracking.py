@@ -1,0 +1,339 @@
+"""Tracking front-end: per-frame state machine.
+
+Host orchestration of the reference's Tracking thread (/root/reference/
+src/Tracking.cc:275-517) over jitted device kernels:
+
+  extract (frontend.orb) -> stereo depth (frontend.stereo) ->
+  motion-model projection matching (frontend.matcher) ->
+  motion-only pose GN (slam.pose_opt) -> local-map tracking ->
+  keyframe decision -> map-point spawning from stereo depth.
+
+All device calls are fixed-shape (feature caps from ORBParams, map-point
+caps below), so each kernel compiles once for a sequence. The reference's
+mutex/thread machinery disappears: the tracker is a plain object driven
+by one host loop (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from enum import Enum
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..frontend import matcher, orb, stereo
+from . import pose_opt
+from .map import Frame, KeyFrame, Map, MapPoint
+
+LOCAL_POINT_CAP = 4096
+
+
+class State(Enum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+@dataclasses.dataclass
+class TrackerConfig:
+    fx: float = 707.0912
+    fy: float = 707.0912
+    cx: float = 601.8873
+    cy: float = 183.1104
+    bf: float = 379.8145
+    width: int = 1241
+    height: int = 376
+    depth_threshold: float = 35.0       # close-point gate ("ThDepth" * baseline)
+    max_frames_between_kf: int = 10     # fps
+    min_frames_between_kf: int = 0
+    min_init_features: int = 500
+    min_track_matches: int = 10
+    min_inliers: int = 10
+    search_radius_motion: float = 15.0
+    search_radius_local: float = 5.0
+
+    @property
+    def intrinsics(self):
+        return jnp.asarray([self.fx, self.fy, self.cx, self.cy, self.bf])
+
+
+def _pack_map_points(entries, cap):
+    """entries: list of (id, pos(3,), desc(8,), level) -> padded arrays."""
+    ids = np.full(cap, -1, np.int64)
+    pos = np.zeros((cap, 3), np.float32)
+    desc = np.zeros((cap, 8), np.uint32)
+    level = np.zeros(cap, np.int32)
+    n = min(len(entries), cap)
+    for i in range(n):
+        ids[i], pos[i], desc[i], level[i] = (
+            entries[i][0], entries[i][1], entries[i][2], entries[i][3],
+        )
+    valid = (ids >= 0).astype(np.float32)
+    return ids, pos, desc, level, valid
+
+
+class Tracker:
+    def __init__(self, config: TrackerConfig, slam_map: Map,
+                 orb_params: orb.ORBParams = orb.ORBParams()):
+        self.cfg = config
+        self.map = slam_map
+        self.orb_params = orb_params
+        self.state = State.NOT_INITIALIZED
+        self.last_frame: Frame | None = None
+        self.velocity: np.ndarray | None = None   # T_cl: last->current motion
+        self.ref_kf: KeyFrame | None = None
+        self.last_kf_frame_id = -1
+        self.frames_since_kf = 0
+        self.new_keyframes: list[KeyFrame] = []   # queue for local mapping
+        self.trajectory: list[tuple[float, np.ndarray, bool]] = []
+
+    # ------------------------------------------------------------------
+    def process_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
+                       timestamp: float) -> Frame:
+        feats_l = orb.extract(jnp.asarray(img_l, jnp.float32), self.orb_params)
+        feats_r = orb.extract(jnp.asarray(img_r, jnp.float32), self.orb_params)
+        st = stereo.stereo_match(
+            feats_l, feats_r, jnp.asarray(img_l, jnp.float32),
+            jnp.asarray(img_r, jnp.float32), jnp.float32(self.cfg.bf),
+            jnp.float32(self.cfg.bf / 0.5),  # max disparity ~ minZ 0.5m
+        )
+        feats = {k: np.asarray(v) for k, v in feats_l.items()}
+        frame = Frame(
+            timestamp, feats,
+            depth=np.asarray(st["depth"]), u_right=np.asarray(st["u_right"]),
+        )
+        self._track(frame)
+        return frame
+
+    def process_rgbd(self, img: np.ndarray, depth: np.ndarray,
+                     timestamp: float) -> Frame:
+        feats_j = orb.extract(jnp.asarray(img, jnp.float32), self.orb_params)
+        feats = {k: np.asarray(v) for k, v in feats_j.items()}
+        xy = feats["xy"].astype(np.int32)
+        xs = np.clip(xy[:, 0], 0, depth.shape[1] - 1)
+        ys = np.clip(xy[:, 1], 0, depth.shape[0] - 1)
+        d = depth[ys, xs].astype(np.float32)
+        d = np.where(feats["valid"] > 0, d, -1.0)
+        ur = np.where(d > 0, feats["xy"][:, 0] - self.cfg.bf / np.maximum(d, 1e-6), -1.0)
+        frame = Frame(timestamp, feats, depth=d, u_right=ur)
+        self._track(frame)
+        return frame
+
+    # ------------------------------------------------------------------
+    def _track(self, frame: Frame):
+        if self.state == State.NOT_INITIALIZED:
+            self._initialize_stereo(frame)
+        else:
+            ok = self._track_with_motion_model(frame)
+            if not ok:
+                ok = self._track_reference_keyframe(frame)
+            if ok:
+                ok = self._track_local_map(frame)
+            if ok:
+                self.state = State.OK
+                if self.last_frame is not None:
+                    self.velocity = frame.T_cw @ self.last_frame.T_wc
+                self._update_last_frame_points(frame)
+                if self._need_new_keyframe(frame):
+                    self._create_keyframe(frame)
+                self.frames_since_kf += 1
+            else:
+                self.state = State.LOST
+        self.trajectory.append(
+            (frame.timestamp, frame.T_cw.copy(), self.state != State.OK)
+        )
+        self.last_frame = frame
+
+    # ------------------------------------------------------------------
+    def _initialize_stereo(self, frame: Frame):
+        n_valid = int(frame.feats["valid"].sum())
+        if n_valid < self.cfg.min_init_features:
+            return
+        frame.T_cw = np.eye(4, dtype=np.float32)
+        kf = self._spawn_keyframe_with_points(frame, min_points=0)
+        if kf is None:
+            return
+        self.ref_kf = kf
+        self.state = State.OK
+        self.velocity = np.eye(4, dtype=np.float32)
+
+    # ------------------------------------------------------------------
+    def _project_points(self, T_cw, pos):
+        pc = pos @ T_cw[:3, :3].T + T_cw[:3, 3]
+        z = np.maximum(pc[:, 2], 1e-6)
+        u = self.cfg.fx * pc[:, 0] / z + self.cfg.cx
+        v = self.cfg.fy * pc[:, 1] / z + self.cfg.cy
+        in_img = (
+            (pc[:, 2] > 0.1)
+            & (u >= 0) & (u < self.cfg.width)
+            & (v >= 0) & (v < self.cfg.height)
+        )
+        return np.stack([u, v], -1).astype(np.float32), in_img
+
+    def _match_and_optimize(self, frame: Frame, entries, radius) -> int:
+        """Project candidate map points, match, run pose GN. Returns #inliers."""
+        ids, pos, desc, level, valid = _pack_map_points(entries, LOCAL_POINT_CAP)
+        proj_xy, in_img = self._project_points(frame.T_cw, pos)
+        valid = valid * in_img
+        if valid.sum() < self.cfg.min_track_matches:
+            return 0
+        idx, dist = matcher.match_by_projection(
+            jnp.asarray(proj_xy), jnp.asarray(valid), jnp.asarray(desc),
+            jnp.asarray(level),
+            {k: jnp.asarray(v) for k, v in frame.feats.items()},
+            radius=radius,
+        )
+        idx = np.asarray(idx)
+        matched = np.nonzero(idx >= 0)[0]
+        if len(matched) < self.cfg.min_track_matches:
+            return 0
+        # resolve conflicts: one keypoint can win several points; keep best
+        kp_of = {}
+        for m in matched:
+            kp = int(idx[m])
+            if kp not in kp_of or dist[m] < dist[kp_of[kp]]:
+                kp_of[kp] = m
+        kp_idx = np.asarray(list(kp_of.keys()), np.int64)
+        pt_slot = np.asarray(list(kp_of.values()), np.int64)
+
+        n = len(kp_idx)
+        cap = LOCAL_POINT_CAP
+        pts_w = np.zeros((cap, 3), np.float32)
+        obs = np.zeros((cap, 3), np.float32)
+        inv_s2 = np.ones(cap, np.float32)
+        vmask = np.zeros(cap, np.float32)
+        smask = np.zeros(cap, np.float32)
+        pts_w[:n] = pos[pt_slot]
+        obs[:n, :2] = frame.feats["xy"][kp_idx]
+        ur = frame.u_right[kp_idx] if frame.u_right is not None else -np.ones(n)
+        obs[:n, 2] = np.where(ur > 0, ur, 0)
+        smask[:n] = (ur > 0).astype(np.float32)
+        inv_s2[:n] = 1.0 / frame.feats["sigma2"][kp_idx]
+        vmask[:n] = 1.0
+
+        T, inlier, n_in = pose_opt.optimize_pose(
+            jnp.asarray(frame.T_cw), jnp.asarray(pts_w), jnp.asarray(obs),
+            jnp.asarray(inv_s2), jnp.asarray(vmask), jnp.asarray(smask),
+            self.cfg.intrinsics,
+        )
+        inlier = np.asarray(inlier)[:n] > 0
+        frame.T_cw = np.asarray(T)
+        frame.map_point_ids[:] = -1
+        frame.map_point_ids[kp_idx[inlier]] = ids[pt_slot[inlier]]
+        return int(inlier.sum())
+
+    def _track_with_motion_model(self, frame: Frame) -> bool:
+        if self.velocity is None or self.last_frame is None:
+            return False
+        frame.T_cw = (self.velocity @ self.last_frame.T_cw).astype(np.float32)
+        entries = self._entries_from_ids(
+            self.last_frame.map_point_ids[self.last_frame.map_point_ids >= 0]
+        )
+        n_in = self._match_and_optimize(frame, entries, self.cfg.search_radius_motion)
+        return n_in >= self.cfg.min_inliers
+
+    def _track_reference_keyframe(self, frame: Frame) -> bool:
+        if self.ref_kf is None:
+            return False
+        frame.T_cw = self.ref_kf.T_cw.copy() if self.last_frame is None \
+            else self.last_frame.T_cw.copy()
+        entries = self._entries_from_ids(
+            self.ref_kf.map_point_ids[self.ref_kf.map_point_ids >= 0]
+        )
+        n_in = self._match_and_optimize(frame, entries, 3 * self.cfg.search_radius_motion)
+        return n_in >= self.cfg.min_inliers
+
+    def _track_local_map(self, frame: Frame) -> bool:
+        if self.ref_kf is None:
+            return False
+        kf_ids = self.map.local_keyframes(self.ref_kf, 20)
+        entries = self._entries_from_ids(self.map.points_seen_by(kf_ids))
+        n_in = self._match_and_optimize(frame, entries, self.cfg.search_radius_local)
+        self.n_inliers = n_in
+        return n_in >= max(self.cfg.min_inliers, 15)
+
+    def _entries_from_ids(self, ids):
+        entries = []
+        for p_id in ids:
+            p = self.map.points.get(int(p_id))
+            if p is None or p.bad:
+                continue
+            kf = self.map.keyframes.get(p.ref_kf_id)
+            lvl = 0
+            if kf is not None and p.id in kf.map_point_ids:
+                pass
+            entries.append((p.id, p.position, p.descriptor, lvl))
+        return entries
+
+    # ------------------------------------------------------------------
+    def _update_last_frame_points(self, frame: Frame):
+        for kp_idx in np.nonzero(frame.map_point_ids >= 0)[0]:
+            p = self.map.points.get(int(frame.map_point_ids[kp_idx]))
+            if p is not None:
+                p.n_found += 1
+                p.n_visible += 1
+
+    def _need_new_keyframe(self, frame: Frame) -> bool:
+        if self.ref_kf is None:
+            return False
+        if self.frames_since_kf >= self.cfg.max_frames_between_kf:
+            return True
+        ref_matches = int((self.ref_kf.map_point_ids >= 0).sum())
+        tracked = int((frame.map_point_ids >= 0).sum())
+        if tracked < 0.75 * ref_matches:
+            # stereo rule: enough close new candidates?
+            if frame.depth is not None:
+                close_untracked = (
+                    (frame.depth > 0)
+                    & (frame.depth < self.cfg.depth_threshold)
+                    & (frame.map_point_ids < 0)
+                ).sum()
+                if tracked < 100 and close_untracked > 70:
+                    return True
+            return tracked < 0.5 * ref_matches or self.frames_since_kf > 0
+        return False
+
+    def _spawn_keyframe_with_points(self, frame: Frame, min_points=100):
+        kf = KeyFrame(frame)
+        self.map.add_keyframe(kf)
+        # carry over tracked points
+        for kp_idx in np.nonzero(frame.map_point_ids >= 0)[0]:
+            p = self.map.points.get(int(frame.map_point_ids[kp_idx]))
+            if p is not None and not p.bad:
+                self.map.add_observation(p, kf, int(kp_idx))
+        # spawn new close points from stereo depth (Tracking.cc:1118-1160)
+        if frame.depth is not None:
+            depth = frame.depth
+            candidates = np.nonzero(
+                (depth > 0) & (frame.feats["valid"] > 0)
+                & (frame.map_point_ids < 0)
+            )[0]
+            order = candidates[np.argsort(depth[candidates])]
+            created = 0
+            T_wc = frame.T_wc
+            for kp_idx in order:
+                z = float(depth[kp_idx])
+                if z > self.cfg.depth_threshold and created >= min_points:
+                    break
+                u, v = frame.feats["xy"][kp_idx]
+                xc = np.array(
+                    [(u - self.cfg.cx) * z / self.cfg.fx,
+                     (v - self.cfg.cy) * z / self.cfg.fy, z, 1.0], np.float32
+                )
+                xw = (T_wc @ xc)[:3]
+                p = MapPoint(xw, frame.feats["desc"][kp_idx], kf.id)
+                self.map.add_point(p)
+                self.map.add_observation(p, kf, int(kp_idx))
+                frame.map_point_ids[kp_idx] = p.id
+                created += 1
+        self.map.update_covisibility(kf)
+        self.new_keyframes.append(kf)
+        self.last_kf_frame_id = frame.id
+        self.frames_since_kf = 0
+        return kf
+
+    def _create_keyframe(self, frame: Frame):
+        kf = self._spawn_keyframe_with_points(frame)
+        self.ref_kf = kf
+        return kf
