@@ -250,6 +250,9 @@ def bundle_adjust(
         rhs_full = rhs_full * free_diag
 
         dx = jnp.linalg.solve(H_full, rhs_full)
+        # trust region: bounded, finite increments (g2o's LM damping keeps
+        # steps small; with fixed damping we clamp instead)
+        dx = jnp.clip(jnp.where(jnp.isfinite(dx), dx, 0.0), -0.5, 0.5)
         dx_c = dx[: 6 * K].reshape(K, 6)
         kf_T_new = jax.vmap(lambda d, T: lie.exp_se3(d) @ T)(dx_c, kf_T)
 
@@ -265,6 +268,7 @@ def bundle_adjust(
             Hpp_inv,
             bp - jnp.einsum("kpab,ka->pb", W, dx_c),
         )
+        dx_p = jnp.clip(jnp.where(jnp.isfinite(dx_p), dx_p, 0.0), -0.5, 0.5)
         pts_new = pts + dx_p * pt_valid[:, None]
         return kf_T_new, pts_new, inlier, obj_T_new, new_edge_inlier
 

@@ -68,6 +68,11 @@ def stereo_match(
     best_idx = jnp.argmin(d, axis=1)
     best = jnp.take_along_axis(d, best_idx[:, None], axis=1)[:, 0]
     ok = best <= TH_HIGH
+    # uniqueness: reject ambiguous rows where the runner-up is nearly as
+    # good (spurious matches otherwise mint wildly wrong depths)
+    d2 = d.at[jnp.arange(d.shape[0]), best_idx].set(BIG)
+    second = jnp.min(d2, axis=1)
+    ok = ok & (best.astype(jnp.float32) < 0.8 * second.astype(jnp.float32))
 
     # subpixel SAD refinement around the matched column (Frame.cc:540-610)
     def refine(xi, yi, xri):

@@ -52,9 +52,11 @@ class LocalMapper:
         return jnp.asarray([c.fx, c.fy, c.cx, c.cy, c.bf])
 
     # ------------------------------------------------------------------
-    def process(self, kf: KeyFrame):
+    def process(self, kf: KeyFrame, triangulate: bool = True):
         self.map.update_covisibility(kf)
         self._cull_points(kf)
+        if triangulate:
+            self._create_new_points(kf)
         if self.object_pipeline is not None:
             local_ids = self.map.local_keyframes(kf, self.cfg.window)
             self.object_pipeline.process_keyframe(kf, local_ids)
@@ -81,6 +83,71 @@ class LocalMapper:
         self.recent_points.extend((p, birth_kf_id) for p in point_ids)
 
     # ------------------------------------------------------------------
+    def _create_new_points(self, kf: KeyFrame, max_neighbors: int = 2):
+        """Epipolar triangulation of unmatched keypoints against strong
+        covisible keyframes (LocalMapping::CreateNewMapPoints,
+        LocalMapping.cc:258-450). Essential for monocular map growth;
+        stereo keyframes also benefit beyond the depth gate."""
+        import jax.numpy as jnp
+
+        from ..frontend import matcher as matcher_mod
+        from ..slam.map import MapPoint
+        from . import initializer as init_mod
+
+        c = self.cfg
+        K_mat = np.array(
+            [[c.fx, 0, c.cx], [0, c.fy, c.cy], [0, 0, 1.0]], np.float32
+        )
+        created = []
+        for other_id in kf.covisible_keyframes(max_neighbors):
+            other = self.map.keyframes.get(other_id)
+            if other is None or other.bad:
+                continue
+            # enough parallax between the two keyframes?
+            base = np.linalg.norm(kf.camera_center() - other.camera_center())
+            if base < 1e-3:
+                continue
+            idx, _ = matcher_mod.match_features(
+                {k: jnp.asarray(v) for k, v in kf.feats.items()},
+                {k: jnp.asarray(v) for k, v in other.feats.items()},
+                max_dist=50,
+            )
+            idx = np.asarray(idx)
+            P1 = K_mat @ kf.T_cw[:3, :]
+            P2 = K_mat @ other.T_cw[:3, :]
+            for i in np.nonzero(idx >= 0)[0]:
+                j = int(idx[i])
+                if kf.map_point_ids[i] >= 0 or other.map_point_ids[j] >= 0:
+                    continue
+                X = init_mod._triangulate(
+                    P1, P2, kf.feats["xy"][i][None], other.feats["xy"][j][None]
+                )[0]
+                # cheirality + reprojection gates in both views
+                ok = True
+                for view, kp in ((kf, kf.feats["xy"][i]), (other, other.feats["xy"][j])):
+                    pc = view.T_cw[:3, :3] @ X + view.T_cw[:3, 3]
+                    if pc[2] <= 0.05:
+                        ok = False
+                        break
+                    u = c.fx * pc[0] / pc[2] + c.cx
+                    v = c.fy * pc[1] / pc[2] + c.cy
+                    if (u - kp[0]) ** 2 + (v - kp[1]) ** 2 > 5.991 * 2.0:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                p = MapPoint(
+                    X.astype(np.float32), kf.feats["desc"][i], kf.id
+                )
+                self.map.add_point(p)
+                self.map.add_observation(p, kf, int(i))
+                self.map.add_observation(p, other, j)
+                created.append(p.id)
+        if created:
+            self.register_new_points(created, kf.id)
+            self.map.update_covisibility(kf)
+
+    # ------------------------------------------------------------------
     def local_bundle_adjust(self, kf: KeyFrame):
         """Pack the covisibility window and run the device BA."""
         window_ids = self.map.local_keyframes(kf, self.cfg.window - 1)[: BA_KF_CAP]
@@ -99,8 +166,11 @@ class LocalMapper:
         if 0 in kf_slot:
             kf_fixed[kf_slot[0]] = 1.0
 
-        # collect points observed by the window
-        pt_ids = self.map.points_seen_by(window_ids)[: BA_PT_CAP]
+        # collect points observed by the window, strongest (most observed)
+        # first so cap truncation drops weakly-constrained points
+        pt_ids = self.map.points_seen_by(window_ids)
+        pt_ids.sort(key=lambda p: -self.map.points[p].n_obs)
+        pt_ids = pt_ids[:BA_PT_CAP]
         pt_slot = {p_id: i for i, p_id in enumerate(pt_ids)}
         P = BA_PT_CAP
         points = np.zeros((P, 3), np.float32)
@@ -198,14 +268,16 @@ class LocalMapper:
             1e-3, obj_state,
         )
 
-        # write back
+        # write back — but never with a diverged solution
         new_poses = np.asarray(out["kf_poses"])
+        new_pts_all = np.asarray(out["points"])
+        if not (np.isfinite(new_poses).all() and np.isfinite(new_pts_all).all()):
+            return
         for kf_id, i in kf_slot.items():
             if kf_fixed[i] == 0.0:
                 self.map.keyframes[kf_id].T_cw = new_poses[i]
-        new_pts = np.asarray(out["points"])
         for p_id, i in pt_slot.items():
-            self.map.points[p_id].position = new_pts[i]
+            self.map.points[p_id].position = new_pts_all[i]
         inlier = np.asarray(out["obs_inlier"])
         for i, (kf_id, kp_idx, p_id) in enumerate(obs_refs):
             if obs_valid[i] > 0 and inlier[i] == 0:

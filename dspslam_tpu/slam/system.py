@@ -44,11 +44,35 @@ class SLAMSystem:
         )
         self.local_mapper = LocalMapper(self.map, lm_cfg, object_pipeline)
         self.detection_source = detection_source   # fn(frame_idx) -> list[Detection]
+        self.loop_closer = None
         self.frame_idx = 0
+
+    def enable_loop_closing(self, vocabulary, fix_scale: bool = True):
+        """Attach a loop closer (stereo default: fixed scale). The
+        reference only runs LoopClosing for stereo (System.cc:124-132)."""
+        from ..place.loop_closing import LoopCloser
+
+        c = self.tracker_cfg
+        self.loop_closer = LoopCloser(
+            self.map, vocabulary,
+            [c.fx, c.fy, c.cx, c.cy, c.bf], fix_scale=fix_scale,
+        )
+        from .relocalization import Relocalizer
+
+        self.tracker.relocalizer = Relocalizer(
+            self.map, vocabulary, self.loop_closer.db,
+            [c.fx, c.fy, c.cx, c.cy, c.bf],
+        )
 
     # ------------------------------------------------------------------
     def track_stereo(self, img_l, img_r, timestamp: float):
         frame = self.tracker.process_stereo(img_l, img_r, timestamp)
+        self._drain_keyframes()
+        self.frame_idx += 1
+        return frame
+
+    def track_mono(self, img, timestamp: float):
+        frame = self.tracker.process_mono(img, timestamp)
         self._drain_keyframes()
         self.frame_idx += 1
         return frame
@@ -65,6 +89,8 @@ class SLAMSystem:
             if self.detection_source is not None:
                 kf.detections = self.detection_source(self.frame_idx) or []
             self.local_mapper.process(kf)
+            if self.loop_closer is not None:
+                self.loop_closer.insert_keyframe(kf)
 
     # ------------------------------------------------------------------
     @property

@@ -44,7 +44,7 @@ class TrackerConfig:
     bf: float = 379.8145
     width: int = 1241
     height: int = 376
-    depth_threshold: float = 35.0       # close-point gate ("ThDepth" * baseline)
+    th_depth: float = 35.0              # "ThDepth": close-point gate in baselines
     max_frames_between_kf: int = 10     # fps
     min_frames_between_kf: int = 0
     min_init_features: int = 500
@@ -56,6 +56,12 @@ class TrackerConfig:
     @property
     def intrinsics(self):
         return jnp.asarray([self.fx, self.fy, self.cx, self.cy, self.bf])
+
+    @property
+    def depth_threshold(self):
+        """Close-point depth gate in meters: ThDepth * baseline
+        (reference Tracking.cc: mThDepth = mbf * ThDepth / fx)."""
+        return self.th_depth * self.bf / self.fx
 
 
 def _pack_map_points(entries, cap):
@@ -87,6 +93,7 @@ class Tracker:
         self.frames_since_kf = 0
         self.new_keyframes: list[KeyFrame] = []   # queue for local mapping
         self.trajectory: list[tuple[float, np.ndarray, bool]] = []
+        self.relocalizer = None                   # set by the system facade
 
     # ------------------------------------------------------------------
     def process_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
@@ -120,10 +127,31 @@ class Tracker:
         self._track(frame)
         return frame
 
+    def process_mono(self, img: np.ndarray, timestamp: float) -> Frame:
+        feats_j = orb.extract(jnp.asarray(img, jnp.float32), self.orb_params)
+        feats = {k: np.asarray(v) for k, v in feats_j.items()}
+        frame = Frame(timestamp, feats)
+        self._track(frame, mono=True)
+        return frame
+
     # ------------------------------------------------------------------
-    def _track(self, frame: Frame):
+    def _track(self, frame: Frame, mono: bool = False):
         if self.state == State.NOT_INITIALIZED:
-            self._initialize_stereo(frame)
+            if mono:
+                self._initialize_mono(frame)
+            else:
+                self._initialize_stereo(frame)
+        elif self.state == State.LOST:
+            ok = (
+                self.relocalizer is not None
+                and self.relocalizer.try_relocalize(frame)
+            )
+            if ok:
+                ok = self._track_local_map(frame)
+            if ok:
+                self.state = State.OK
+                self.velocity = None
+                self._update_last_frame_points(frame)
         else:
             ok = self._track_with_motion_model(frame)
             if not ok:
@@ -144,6 +172,72 @@ class Tracker:
             (frame.timestamp, frame.T_cw.copy(), self.state != State.OK)
         )
         self.last_frame = frame
+
+    # ------------------------------------------------------------------
+    def _initialize_mono(self, frame: Frame):
+        """Two-view initialization (reference MonocularInitialization,
+        Tracking.cc:574-767): hold a reference frame, match against each
+        new frame in wide windows, attempt H/F model recovery, spawn the
+        first two keyframes + triangulated map points at median depth 1."""
+        from . import initializer as init_mod
+        from ..frontend import matcher as matcher_mod
+
+        n_valid = int(frame.feats["valid"].sum())
+        if getattr(self, "_init_ref", None) is None:
+            if n_valid >= 100:
+                self._init_ref = frame
+            return
+        ref = self._init_ref
+        if n_valid < 100:
+            self._init_ref = None
+            return
+        idx, _ = matcher_mod.match_in_windows(
+            {k: jnp.asarray(v) for k, v in ref.feats.items()},
+            {k: jnp.asarray(v) for k, v in frame.feats.items()},
+            radius=100.0, max_dist=50, ratio=0.9,
+        )
+        idx = np.asarray(idx)
+        m = np.nonzero(idx >= 0)[0]
+        if len(m) < 80:
+            self._init_ref = frame   # restart from the newer frame
+            return
+        p1 = ref.feats["xy"][m]
+        p2 = frame.feats["xy"][idx[m]]
+        K = np.array(
+            [[self.cfg.fx, 0, self.cfg.cx], [0, self.cfg.fy, self.cfg.cy],
+             [0, 0, 1.0]]
+        )
+        out = init_mod.initialize_two_view(p1, p2, K)
+        if out is None:
+            return
+        ref.T_cw = np.eye(4, dtype=np.float32)
+        T2 = np.eye(4, dtype=np.float32)
+        T2[:3, :3] = out["R"]
+        T2[:3, 3] = out["t"]
+        frame.T_cw = T2
+        kf1 = KeyFrame(ref)
+        kf2 = KeyFrame(frame)
+        self.map.add_keyframe(kf1)
+        self.map.add_keyframe(kf2)
+        good = out["good_mask"]
+        for j in np.nonzero(good)[0]:
+            kp_ref = int(m[j])
+            kp_cur = int(idx[m[j]])
+            p = MapPoint(out["points3d"][j], ref.feats["desc"][kp_ref], kf1.id)
+            self.map.add_point(p)
+            self.map.add_observation(p, kf1, kp_ref)
+            self.map.add_observation(p, kf2, kp_cur)
+            frame.map_point_ids[kp_cur] = p.id
+            ref.map_point_ids[kp_ref] = p.id
+        self.map.update_covisibility(kf1)
+        self.map.update_covisibility(kf2)
+        self.new_keyframes.extend([kf1, kf2])
+        self.ref_kf = kf2
+        self.last_kf_frame_id = frame.id
+        self.frames_since_kf = 0
+        self.state = State.OK
+        self.velocity = (frame.T_cw @ np.linalg.inv(ref.T_cw)).astype(np.float32)
+        self._init_ref = None
 
     # ------------------------------------------------------------------
     def _initialize_stereo(self, frame: Frame):
@@ -251,7 +345,8 @@ class Tracker:
         entries = self._entries_from_ids(self.map.points_seen_by(kf_ids))
         n_in = self._match_and_optimize(frame, entries, self.cfg.search_radius_local)
         self.n_inliers = n_in
-        return n_in >= max(self.cfg.min_inliers, 15)
+        # reference accepts local-map tracking only with >= 30 inliers
+        return n_in >= max(self.cfg.min_inliers, 30)
 
     def _entries_from_ids(self, ids):
         entries = []
