@@ -1,0 +1,146 @@
+"""Stereo+LiDAR object SLAM CLI — the dsp_slam.cc equivalent.
+
+Usage:
+    python -m dspslam_tpu.apps.dsp_slam \
+        --sequence_dir <kitti_seq> --settings configs/KITTI04-12.yaml \
+        --config configs/config_kitti.json --map_dir out/map \
+        [--frames N] [--no_objects] [--no_loop]
+
+Per-frame loop mirrors dsp_slam.cc:62-105: track stereo, feed per-KF
+object detections (offline labels), save the map + trajectory at the
+end, print median/mean tracking times.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from .. import config as cfg_mod
+from ..datasets.kitti import KITTISequence
+from ..frontend import orb
+from ..objects.pipeline import ObjectPipeline
+from ..slam.system import SLAMSystem
+from ..slam.tracking import TrackerConfig
+from ..utils.timing import StageTimer
+from .reconstruct_frame import get_decoder
+
+
+def build_system(system_cfg: cfg_mod.SystemConfig, sequence, enable_objects=True,
+                 enable_loop=True, vocabulary=None):
+    cam = system_cfg.camera
+    tracker_cfg = TrackerConfig(
+        fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.baseline_fx,
+        width=cam.width, height=cam.height, th_depth=cam.depth_threshold,
+        max_frames_between_kf=int(cam.fps),
+    )
+    orb_params = orb.ORBParams(
+        n_features=system_cfg.orb.n_features,
+        scale_factor=system_cfg.orb.scale_factor,
+        n_levels=system_cfg.orb.n_levels,
+        fast_threshold=system_cfg.orb.ini_th_fast,
+        min_threshold=system_cfg.orb.min_th_fast,
+    )
+
+    pipeline_factory = None
+    if enable_objects:
+        decoder_fn, decoder_params = get_decoder(system_cfg)
+        d = system_cfg.detection
+
+        def pipeline_factory(slam_map):
+            return ObjectPipeline(
+                slam_map, decoder_fn, decoder_params, system_cfg.optimizer,
+                max_detections=d.max_detections,
+                max_surface_points=d.max_surface_points,
+                max_rays=d.max_rays,
+                voxels_dim=system_cfg.voxels_dim,
+            )
+
+    detection_source = None
+    if enable_objects and sequence is not None and sequence.det_cfg is not None:
+        image_hw = (cam.height, cam.width)
+
+        def detection_source(frame_idx):
+            try:
+                return sequence.get_frame_detections(frame_idx, image_hw)
+            except FileNotFoundError:
+                return []
+
+    system = SLAMSystem(
+        tracker_cfg=tracker_cfg,
+        orb_params=orb_params,
+        object_pipeline_factory=pipeline_factory,
+        detection_source=detection_source,
+    )
+    if enable_loop and vocabulary is not None:
+        system.enable_loop_closing(vocabulary, fix_scale=True)
+    return system
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--sequence_dir", required=True)
+    p.add_argument("--settings", help="per-sequence YAML (reference format)")
+    p.add_argument("--config", help="dataset JSON (reference format)")
+    p.add_argument("--map_dir", default="map")
+    p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--no_objects", action="store_true")
+    p.add_argument("--no_loop", action="store_true")
+    p.add_argument("--vocabulary", help="trained vocabulary .npz")
+    args = p.parse_args(argv)
+
+    system_cfg = (
+        cfg_mod.SystemConfig.from_reference_json(args.config)
+        if args.config else cfg_mod.SystemConfig()
+    )
+    if args.settings:
+        system_cfg = cfg_mod.SystemConfig.from_reference_yaml(
+            args.settings, base=system_cfg
+        )
+
+    seq = KITTISequence(args.sequence_dir, system_cfg.detection)
+    voc = None
+    if args.vocabulary and os.path.exists(args.vocabulary):
+        from ..place.vocabulary import Vocabulary
+
+        data = np.load(args.vocabulary)
+        voc = Vocabulary(
+            int(data["branching"]), int(data["levels"]),
+            data["centers"], data["word_weights"],
+        )
+
+    system = build_system(
+        system_cfg, seq,
+        enable_objects=not args.no_objects,
+        enable_loop=not args.no_loop and voc is not None,
+        vocabulary=voc,
+    )
+
+    n = args.frames or seq.num_frames
+    timer = StageTimer()
+    for frame_id in range(n):
+        img_l, img_r = seq.load_stereo_gray(frame_id)
+        with timer.stage("track"):
+            system.track_stereo(img_l, img_r, seq.timestamp(frame_id))
+        if frame_id % 20 == 0:
+            print(
+                f"frame {frame_id}/{n} state={system.state.name} "
+                f"kfs={len(system.map.keyframes)} pts={len(system.map.points)} "
+                f"objs={len(system.map.objects)}"
+            )
+
+    os.makedirs(args.map_dir, exist_ok=True)
+    system.save_map(args.map_dir)
+    print(timer)
+    stats = timer.report().get("track", {})
+    print(
+        f"median tracking time: {stats.get('median_ms', 0):.1f} ms, "
+        f"mean: {stats.get('mean_ms', 0):.1f} ms"
+    )
+    return system
+
+
+if __name__ == "__main__":
+    main()

@@ -83,6 +83,46 @@ class SystemConfig:
     voxels_dim: int = 32
 
     @staticmethod
+    def from_reference_yaml(path: str, base: "SystemConfig" = None) -> "SystemConfig":
+        """Load a reference per-sequence OpenCV YAML (camera + ORB + viewer
+        settings, e.g. configs/KITTI04-12.yaml). The '%YAML:1.0' directive
+        and OpenCV-specific tags are stripped before parsing."""
+        import yaml
+
+        with open(path) as f:
+            text = f.read()
+        lines = [
+            l for l in text.splitlines()
+            if not l.startswith("%YAML") and "!!opencv" not in l
+        ]
+        data = yaml.safe_load("\n".join(lines)) or {}
+        base = base or SystemConfig()
+        cam = CameraConfig(
+            fx=data.get("Camera.fx", base.camera.fx),
+            fy=data.get("Camera.fy", base.camera.fy),
+            cx=data.get("Camera.cx", base.camera.cx),
+            cy=data.get("Camera.cy", base.camera.cy),
+            width=int(data.get("Camera.width", base.camera.width)),
+            height=int(data.get("Camera.height", base.camera.height)),
+            fps=data.get("Camera.fps", base.camera.fps),
+            baseline_fx=data.get("Camera.bf", base.camera.baseline_fx),
+            depth_threshold=data.get("ThDepth", base.camera.depth_threshold),
+            k1=data.get("Camera.k1", 0.0),
+            k2=data.get("Camera.k2", 0.0),
+            p1=data.get("Camera.p1", 0.0),
+            p2=data.get("Camera.p2", 0.0),
+            k3=data.get("Camera.k3", 0.0),
+        )
+        orb = ORBConfig(
+            n_features=int(data.get("ORBextractor.nFeatures", base.orb.n_features)),
+            scale_factor=data.get("ORBextractor.scaleFactor", base.orb.scale_factor),
+            n_levels=int(data.get("ORBextractor.nLevels", base.orb.n_levels)),
+            ini_th_fast=int(data.get("ORBextractor.iniThFAST", base.orb.ini_th_fast)),
+            min_th_fast=int(data.get("ORBextractor.minThFAST", base.orb.min_th_fast)),
+        )
+        return dataclasses.replace(base, camera=cam, orb=orb)
+
+    @staticmethod
     def from_reference_json(path: str, **overrides) -> "SystemConfig":
         """Load a reference-format dataset JSON (e.g. config_kitti.json)."""
         with open(path) as f:

@@ -104,6 +104,20 @@ class Vocabulary:
         voc.word_weights = np.log(n / np.maximum(counts, 1.0)).astype(np.float32)
         return voc
 
+    def save(self, path: str):
+        np.savez_compressed(
+            path, branching=self.branching, levels=self.levels,
+            centers=self.centers, word_weights=self.word_weights,
+        )
+
+    @staticmethod
+    def load(path: str) -> "Vocabulary":
+        data = np.load(path)
+        return Vocabulary(
+            int(data["branching"]), int(data["levels"]),
+            np.asarray(data["centers"]), np.asarray(data["word_weights"]),
+        )
+
     # ------------------------------------------------------------------
     def assign_words(self, descriptors: np.ndarray) -> np.ndarray:
         """(N, 8) -> (N,) word ids, batched tree descent."""

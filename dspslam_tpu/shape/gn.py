@@ -57,6 +57,13 @@ class GNConfig:
     num_iterations: int = 10
     max_grad_points: int = 1024
     min_render_points: int = 10
+    # trust region on the per-iteration log-scale step: the scale/code
+    # product is weakly constrained (shrinking the object frame scales
+    # all SDF residuals down), so unbounded GN steps can inflate the
+    # scale far from the detector's metric prior before the code catches
+    # up. The reference leans on scale_damping alone; a hard step bound
+    # is more robust at the same converged solution.
+    max_scale_step: float = 0.1
     # pose-only object ICP (config_kitti.json:36-38)
     pose_only_iterations: int = 5
     pose_only_inlier_thresh: float = 0.05
@@ -142,6 +149,10 @@ def reconstruct_object(
         H = H.at[POSE_DIM - 1, POSE_DIM - 1].add(config.scale_damping)
 
         dx = jnp.linalg.solve(H, b)
+        dx = dx.at[POSE_DIM - 1].set(
+            jnp.clip(dx[POSE_DIM - 1], -config.max_scale_step,
+                     config.max_scale_step)
+        )
         delta_t = lie.exp_sim3(config.learning_rate * dx[:POSE_DIM])
         t_obj_cam_new = delta_t @ t_obj_cam
         code_new = code + config.learning_rate * dx[POSE_DIM:]
