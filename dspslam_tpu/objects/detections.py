@@ -165,9 +165,11 @@ def build_frame_detections(
     out: list[Detection] = []
     occ = np.zeros((h, w), bool)
     prev_mask = None
+    from .. import native
+
     for n in order:
         det3d = detections_3d[n]
-        pts_velo = crop_lidar_for_box(velo_pts, det3d, max_lidar_points)
+        pts_velo = native.crop_lidar_box(velo_pts, det3d, max_lidar_points)
         pts_cam = transform(T_cam_velo, pts_velo[:, :3]).astype(np.float32)
         T_cam_obj = (T_cam_velo @ kitti_box_to_pose_velo(det3d)).astype(np.float32)
         scale = 1.1 * det3d[4] / 2.0
