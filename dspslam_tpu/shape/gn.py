@@ -57,6 +57,12 @@ class GNConfig:
     num_iterations: int = 10
     max_grad_points: int = 1024
     min_render_points: int = 10
+    # fraction of the ray x sample grid decoded in the render loss (the
+    # rest is outside the unit ball and contributes occupancy 0); None
+    # disables the cap. Measured on v5e the top_k selection cost offsets
+    # the matmul savings at reference sizes, so this stays off by default
+    # and exists for much larger ray budgets.
+    render_eval_fraction: float | None = None
     # trust region on the per-iteration log-scale step: the scale/code
     # product is weakly constrained (shrinking the object frame scales
     # all SDF residuals down), so unbounded GN steps can inflate the
@@ -125,6 +131,14 @@ def reconstruct_object(
             num_samples=config.num_depth_samples,
             cut_off=config.cut_off,
             max_grad_points=config.max_grad_points,
+            max_eval_points=(
+                None
+                if config.render_eval_fraction is None
+                else int(
+                    rays.shape[0] * config.num_depth_samples
+                    * config.render_eval_fraction
+                )
+            ),
         )
         rr_r, render_loss_val, _ = robust_residuals(r_r, config.b1, m_r)
 
