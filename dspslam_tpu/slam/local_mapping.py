@@ -57,10 +57,12 @@ class LocalMapper:
         self._cull_points(kf)
         if triangulate:
             self._create_new_points(kf)
+        self._fuse_duplicates(kf)
         if self.object_pipeline is not None:
             local_ids = self.map.local_keyframes(kf, self.cfg.window)
             self.object_pipeline.process_keyframe(kf, local_ids)
         self.local_bundle_adjust(kf)
+        self._cull_keyframes(kf)
 
     # ------------------------------------------------------------------
     def _cull_points(self, kf: KeyFrame):
@@ -146,6 +148,119 @@ class LocalMapper:
         if created:
             self.register_new_points(created, kf.id)
             self.map.update_covisibility(kf)
+
+    # ------------------------------------------------------------------
+    def _fuse_duplicates(self, kf: KeyFrame, radius: float = 3.0):
+        """Fuse map points duplicated between the new keyframe and its
+        covisible neighbours (LocalMapping::SearchInNeighbors +
+        ORBmatcher::Fuse): project each neighbour's points into the new
+        keyframe; a projection landing on a keypoint that already holds a
+        different point (or none) within `radius` px with a close
+        descriptor merges/attaches."""
+        import jax.numpy as jnp
+
+        from ..frontend import matcher as matcher_mod
+
+        c = self.cfg
+        neighbor_pts = {}
+        for other_id in kf.covisible_keyframes(5):
+            other = self.map.keyframes.get(other_id)
+            if other is None:
+                continue
+            for p_id in other.map_point_ids:
+                if p_id >= 0 and p_id not in neighbor_pts:
+                    p = self.map.points.get(int(p_id))
+                    if p is not None and not p.bad and kf.id not in p.observations:
+                        neighbor_pts[p_id] = p
+        if not neighbor_pts:
+            return
+        pts = list(neighbor_pts.values())[:2048]
+        pos = np.stack([p.position for p in pts])
+        pc = pos @ kf.T_cw[:3, :3].T + kf.T_cw[:3, 3]
+        z = np.maximum(pc[:, 2], 1e-6)
+        u = c.fx * pc[:, 0] / z + c.cx
+        v = c.fy * pc[:, 1] / z + c.cy
+        ok = (pc[:, 2] > 0.1) & (u >= 0) & (u < 2 * c.cx) & (v >= 0) & (v < 2 * c.cy)
+        cap = 2048
+        proj = np.zeros((cap, 2), np.float32)
+        valid = np.zeros(cap, np.float32)
+        desc = np.zeros((cap, 8), np.uint32)
+        n = len(pts)
+        proj[:n] = np.stack([u, v], -1)
+        valid[:n] = ok.astype(np.float32)
+        desc[:n] = np.stack([p.descriptor for p in pts])
+        idx, dist = matcher_mod.match_by_projection(
+            jnp.asarray(proj), jnp.asarray(valid), jnp.asarray(desc),
+            jnp.zeros(cap, jnp.int32),
+            {k: jnp.asarray(v) for k, v in kf.feats.items()},
+            radius=radius, max_dist=matcher_mod.TH_LOW, ratio=None,
+        )
+        idx = np.asarray(idx)
+        for j in range(n):
+            if idx[j] < 0:
+                continue
+            kp = int(idx[j])
+            existing_id = kf.map_point_ids[kp]
+            p_new = pts[j]
+            if existing_id < 0:
+                self.map.add_observation(p_new, kf, kp)
+            elif existing_id != p_new.id:
+                existing = self.map.points.get(int(existing_id))
+                if existing is None or existing.bad:
+                    continue
+                # keep the better-observed point
+                keep, drop = (
+                    (existing, p_new)
+                    if existing.n_obs >= p_new.n_obs
+                    else (p_new, existing)
+                )
+                self.map.replace_point(drop, keep)
+
+    # ------------------------------------------------------------------
+    def _cull_keyframes(self, kf: KeyFrame):
+        """Drop redundant covisible keyframes: >=90% of their tracked
+        close points are seen by >=3 other keyframes
+        (LocalMapping::KeyFrameCulling, LocalMapping.cc:683-760)."""
+        for other_id in kf.covisible_keyframes():
+            other = self.map.keyframes.get(other_id)
+            if other is None or other.bad or other.id == 0 or other.not_erase:
+                continue
+            total = redundant = 0
+            for p_id in other.map_point_ids:
+                if p_id < 0:
+                    continue
+                p = self.map.points.get(int(p_id))
+                if p is None or p.bad:
+                    continue
+                total += 1
+                if p.n_obs >= 4:   # seen by >= 3 others
+                    redundant += 1
+            if total > 20 and redundant > 0.9 * total:
+                self._erase_keyframe(other)
+
+    def _erase_keyframe(self, kf: KeyFrame):
+        for kp_idx, p_id in enumerate(kf.map_point_ids):
+            if p_id < 0:
+                continue
+            p = self.map.points.get(int(p_id))
+            if p is not None:
+                p.observations.pop(kf.id, None)
+        # reattach children in the spanning tree to the parent
+        parent = self.map.keyframes.get(kf.parent) if kf.parent is not None else None
+        for child_id in kf.children:
+            child = self.map.keyframes.get(child_id)
+            if child is not None:
+                child.parent = kf.parent
+                if parent is not None:
+                    parent.children.add(child_id)
+        if parent is not None:
+            parent.children.discard(kf.id)
+        for other_id in kf.covis:
+            other = self.map.keyframes.get(other_id)
+            if other is not None:
+                other.covis.pop(kf.id, None)
+        kf.bad = True
+        self.map.erase_keyframe(kf.id)
 
     # ------------------------------------------------------------------
     def local_bundle_adjust(self, kf: KeyFrame):

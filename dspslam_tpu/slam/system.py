@@ -91,6 +91,11 @@ class SLAMSystem:
             self.local_mapper.process(kf)
             if self.loop_closer is not None:
                 self.loop_closer.insert_keyframe(kf)
+        # keyframe culling may have invalidated the tracker's reference
+        ref = self.tracker.ref_kf
+        if ref is not None and (ref.bad or ref.id not in self.map.keyframes):
+            good = [k for k in sorted(self.map.keyframes) if not self.map.keyframes[k].bad]
+            self.tracker.ref_kf = self.map.keyframes[good[-1]] if good else None
 
     # ------------------------------------------------------------------
     @property
