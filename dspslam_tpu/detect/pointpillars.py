@@ -1,0 +1,400 @@
+"""PointPillars 3D object detector, TPU-native inference.
+
+Replaces the reference's mmdet3d VoxelNet wrapper (/root/reference/
+reconstruct/detector3d.py + configs/config_pointpillars.py) with a
+from-scratch JAX implementation of the same architecture:
+
+  pillarize (host/native) -> PillarFeatureNet (linear+BN+ReLU+max)
+  -> scatter to BEV canvas -> SECOND backbone (3 conv stages)
+  -> SECONDFPN neck (upsample + concat) -> Anchor3DHead
+  -> sigmoid scores + delta decoding + rotated-NMS-lite -> (N, 7) boxes
+
+TPU-first choices: the pillar stage runs as dense fixed-cap tensors
+(max_pillars x max_points), the BEV scatter is one `.at[].set`, the
+backbone/neck/head are NCHW convs (MXU), and NMS is a fixed-K iterative
+suppression under `lax.fori_loop`. BatchNorm is folded into conv weights
+at load time (inference only). `load_mmdet3d_checkpoint` ingests the
+reference's .pth weights by mmdet3d key convention.
+
+Defaults mirror config_pointpillars.py: range [-20,-39.68,-3, 49.12,
+39.68, 1], voxel 0.16x0.16x4, car anchor (1.6, 3.9, 1.56) at z=-1.78
+with rotations {0, pi/2}, score threshold 0.1, 50 boxes max.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class PointPillarsConfig:
+    pc_range: tuple = (-20.0, -39.68, -3.0, 49.12, 39.68, 1.0)
+    voxel_size: tuple = (0.16, 0.16, 4.0)
+    max_points_per_pillar: int = 32
+    max_pillars: int = 12000
+    pfn_channels: int = 64
+    backbone_layers: tuple = (3, 5, 5)
+    backbone_strides: tuple = (2, 2, 2)
+    backbone_channels: tuple = (64, 128, 256)
+    fpn_upsample: tuple = (1, 2, 4)
+    fpn_channels: tuple = (128, 128, 128)
+    anchor_size: tuple = (1.6, 3.9, 1.56)     # (w, l, h)
+    anchor_z: float = -1.78
+    anchor_rotations: tuple = (0.0, 1.57)
+    score_threshold: float = 0.1
+    nms_iou_threshold: float = 0.5
+    nms_pre: int = 100
+    max_detections: int = 50
+
+    @property
+    def grid_size(self):
+        nx = int(round((self.pc_range[3] - self.pc_range[0]) / self.voxel_size[0]))
+        ny = int(round((self.pc_range[4] - self.pc_range[1]) / self.voxel_size[1]))
+        return nx, ny   # 432, 496
+
+
+# ---------------------------------------------------------------------------
+# Pillarization (host; cheap and data-dependent)
+
+
+def pillarize(points: np.ndarray, cfg: PointPillarsConfig):
+    """Raw scan (N, 4) -> fixed-cap pillar tensors.
+
+    Returns dict(features (P, M, 10), mask (P, M), coords (P, 2) [ix, iy],
+    pillar_mask (P,)) with P = max_pillars, M = max_points_per_pillar.
+    The 10 per-point features follow PillarFeatureNet: x, y, z, r,
+    offsets to the pillar centroid (3), offsets to the pillar center (2),
+    plus z offset to the anchor plane.
+    """
+    x0, y0, z0, x1, y1, z1 = cfg.pc_range
+    vx, vy, _ = cfg.voxel_size
+    P, M = cfg.max_pillars, cfg.max_points_per_pillar
+
+    keep = (
+        (points[:, 0] >= x0) & (points[:, 0] < x1)
+        & (points[:, 1] >= y0) & (points[:, 1] < y1)
+        & (points[:, 2] >= z0) & (points[:, 2] < z1)
+    )
+    pts = points[keep]
+    ix = ((pts[:, 0] - x0) / vx).astype(np.int64)
+    iy = ((pts[:, 1] - y0) / vy).astype(np.int64)
+    nx, ny = cfg.grid_size
+    key = iy * nx + ix
+    uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+    order = np.argsort(-counts)[:P]             # densest pillars first
+    slot_of = np.full(len(uniq), -1, np.int64)
+    slot_of[order] = np.arange(len(order))
+    slots = slot_of[inv]
+
+    feats = np.zeros((P, M, 10), np.float32)
+    mask = np.zeros((P, M), np.float32)
+    coords = np.zeros((P, 2), np.int32)
+    fill = np.zeros(P, np.int64)
+    coords[: len(order), 0] = (uniq[order] % nx).astype(np.int32)
+    coords[: len(order), 1] = (uniq[order] // nx).astype(np.int32)
+    for i in np.argsort(slots):                 # grouped by slot
+        s = slots[i]
+        if s < 0 or fill[s] >= M:
+            continue
+        feats[s, fill[s], :4] = pts[i, :4]
+        mask[s, fill[s]] = 1.0
+        fill[s] += 1
+    pillar_mask = (fill > 0).astype(np.float32)
+
+    # centroid / center offsets
+    n = np.maximum(mask.sum(axis=1, keepdims=True), 1.0)
+    centroid = (feats[:, :, :3] * mask[..., None]).sum(axis=1, keepdims=True) / n[..., None]
+    feats[:, :, 4:7] = (feats[:, :, :3] - centroid) * mask[..., None]
+    cx = coords[:, 0:1] * vx + x0 + vx / 2.0
+    cy = coords[:, 1:2] * vy + y0 + vy / 2.0
+    feats[:, :, 7] = (feats[:, :, 0] - cx) * mask
+    feats[:, :, 8] = (feats[:, :, 1] - cy) * mask
+    feats[:, :, 9] = (feats[:, :, 2] - cfg.anchor_z) * mask
+    return {
+        "features": feats, "mask": mask, "coords": coords,
+        "pillar_mask": pillar_mask,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Network
+
+
+def _conv_init(key, cin, cout, k=3):
+    w = jax.random.normal(key, (cout, cin, k, k)) * np.sqrt(2.0 / (cin * k * k))
+    return {"w": w.astype(jnp.float32), "b": jnp.zeros((cout,), jnp.float32)}
+
+
+def init_params(cfg: PointPillarsConfig, key: jax.Array) -> dict:
+    keys = iter(jax.random.split(key, 64))
+    params = {
+        "pfn": {
+            "w": jax.random.normal(next(keys), (10, cfg.pfn_channels))
+            * np.sqrt(2.0 / 10),
+            "b": jnp.zeros((cfg.pfn_channels,)),
+        },
+        "blocks": [],
+        "deblocks": [],
+    }
+    cin = cfg.pfn_channels
+    for n_layers, cout in zip(cfg.backbone_layers, cfg.backbone_channels):
+        block = [_conv_init(next(keys), cin, cout)]
+        block += [_conv_init(next(keys), cout, cout) for _ in range(n_layers)]
+        params["blocks"].append(block)
+        cin = cout
+    for cin_b, cout in zip(cfg.backbone_channels, cfg.fpn_channels):
+        params["deblocks"].append(_conv_init(next(keys), cin_b, cout))
+    feat = sum(cfg.fpn_channels)
+    n_anchor = len(cfg.anchor_rotations)
+    params["head_cls"] = _conv_init(next(keys), feat, n_anchor, k=1)
+    params["head_box"] = _conv_init(next(keys), feat, n_anchor * 7, k=1)
+    params["head_dir"] = _conv_init(next(keys), feat, n_anchor * 2, k=1)
+    return params
+
+
+def _conv(x, p, stride=1):
+    return jax.lax.conv_general_dilated(
+        x, p["w"], (stride, stride), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    ) + p["b"][None, :, None, None]
+
+
+def _deconv(x, p, factor):
+    if factor == 1:
+        return _conv(x, p)
+    # resize-upsample + conv (TPU-friendly transposed-conv substitute)
+    n, c, h, w = x.shape
+    x = jax.image.resize(x, (n, c, h * factor, w * factor), "nearest")
+    return _conv(x, p)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def forward(params: dict, pillars: dict, cfg: PointPillarsConfig):
+    """Pillar tensors -> (cls (A,), boxes (A, 7), dirs (A, 2)) flattened
+    over the BEV anchor grid."""
+    f = pillars["features"]                    # (P, M, 10)
+    m = pillars["mask"]                        # (P, M)
+    h = jnp.maximum(
+        jnp.dot(f, params["pfn"]["w"], preferred_element_type=jnp.float32)
+        + params["pfn"]["b"], 0.0,
+    )                                          # (P, M, C)
+    h = jnp.max(jnp.where(m[..., None] > 0, h, -1e9), axis=1)
+    h = h * pillars["pillar_mask"][:, None]    # (P, C)
+
+    nx, ny = cfg.grid_size
+    canvas = jnp.zeros((cfg.pfn_channels, ny, nx))
+    canvas = canvas.at[:, pillars["coords"][:, 1], pillars["coords"][:, 0]].set(
+        h.T * pillars["pillar_mask"][None, :]
+    )
+    x = canvas[None]                           # (1, C, H, W)
+
+    outs = []
+    for block, (stride, factor, dp) in zip(
+        params["blocks"],
+        zip(cfg.backbone_strides, cfg.fpn_upsample, params["deblocks"]),
+    ):
+        x = jnp.maximum(_conv(x, block[0], stride), 0.0)
+        for layer in block[1:]:
+            x = jnp.maximum(_conv(x, layer), 0.0)
+        outs.append(jnp.maximum(_deconv(x, dp, factor), 0.0))
+    feat = jnp.concatenate(outs, axis=1)       # (1, 384, H/2, W/2)
+
+    cls = _conv(feat, params["head_cls"])[0]   # (A_rot, H, W)
+    box = _conv(feat, params["head_box"])[0]   # (A_rot*7, H, W)
+    direc = _conv(feat, params["head_dir"])[0]
+
+    n_rot = len(cfg.anchor_rotations)
+    H, W = cls.shape[-2:]
+    cls = cls.reshape(n_rot, H, W).transpose(1, 2, 0).reshape(-1)
+    box = box.reshape(n_rot, 7, H, W).transpose(2, 3, 0, 1).reshape(-1, 7)
+    direc = direc.reshape(n_rot, 2, H, W).transpose(2, 3, 0, 1).reshape(-1, 2)
+    return cls, box, direc
+
+
+def _anchors(cfg: PointPillarsConfig, feat_hw):
+    """Flattened anchor boxes matching the head layout: (A, 7)."""
+    H, W = feat_hw
+    x0, y0 = cfg.pc_range[0], cfg.pc_range[1]
+    sx = (cfg.pc_range[3] - x0) / W
+    sy = (cfg.pc_range[4] - y0) / H
+    xs = x0 + (np.arange(W) + 0.5) * sx
+    ys = y0 + (np.arange(H) + 0.5) * sy
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    w, l, h = cfg.anchor_size
+    out = []
+    for r in cfg.anchor_rotations:
+        a = np.zeros((H, W, 7), np.float32)
+        a[..., 0] = gx
+        a[..., 1] = gy
+        a[..., 2] = cfg.anchor_z
+        a[..., 3:6] = (w, l, h)
+        a[..., 6] = r
+        out.append(a)
+    return np.stack(out, axis=2).reshape(-1, 7)   # (H*W*n_rot, 7)
+
+
+def decode_boxes(deltas: jnp.ndarray, anchors: jnp.ndarray) -> jnp.ndarray:
+    """DeltaXYZWLHR decoding: (A, 7) deltas + anchors -> boxes
+    [x, y, z, w, l, h, yaw]."""
+    diag = jnp.sqrt(anchors[:, 3] ** 2 + anchors[:, 4] ** 2)
+    x = deltas[:, 0] * diag + anchors[:, 0]
+    y = deltas[:, 1] * diag + anchors[:, 1]
+    z = deltas[:, 2] * anchors[:, 5] + anchors[:, 2]
+    w = jnp.exp(deltas[:, 3]) * anchors[:, 3]
+    l = jnp.exp(deltas[:, 4]) * anchors[:, 4]
+    h = jnp.exp(deltas[:, 5]) * anchors[:, 5]
+    yaw = deltas[:, 6] + anchors[:, 6]
+    return jnp.stack([x, y, z, w, l, h, yaw], axis=-1)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def select_detections(cls_logits, boxes, dir_logits, cfg: PointPillarsConfig):
+    """Scores -> top-k pre-NMS -> BEV center-distance NMS (fixed shape).
+
+    Returns (boxes (K, 7), scores (K,), valid (K,)) with K = max_detections.
+    The suppression criterion approximates rotated-IoU by center distance
+    relative to box diagonal — adequate for the SLAM pipeline, which
+    re-gates detections against LiDAR and masks downstream.
+    """
+    scores = jax.nn.sigmoid(cls_logits)
+    top_scores, idx = jax.lax.top_k(scores, cfg.nms_pre)
+    cand_boxes = boxes[idx]
+    # direction correction: flip yaw by pi if dir classifier says so
+    flip = (dir_logits[idx, 1] > dir_logits[idx, 0]).astype(jnp.float32)
+    cand_boxes = cand_boxes.at[:, 6].add(flip * jnp.pi)
+
+    K = cfg.max_detections
+    diag = jnp.sqrt(cand_boxes[:, 3] ** 2 + cand_boxes[:, 4] ** 2)
+
+    def body(k, state):
+        keep_boxes, keep_scores, keep_valid, alive = state
+        # best remaining candidate
+        masked = jnp.where(alive > 0, top_scores, -1.0)
+        j = jnp.argmax(masked)
+        s = masked[j]
+        ok = s >= cfg.score_threshold
+        b = cand_boxes[j]
+        keep_boxes = keep_boxes.at[k].set(jnp.where(ok, b, 0.0))
+        keep_scores = keep_scores.at[k].set(jnp.where(ok, s, 0.0))
+        keep_valid = keep_valid.at[k].set(ok.astype(jnp.float32))
+        # suppress near-duplicates of the selected box
+        d = jnp.sqrt(
+            (cand_boxes[:, 0] - b[0]) ** 2 + (cand_boxes[:, 1] - b[1]) ** 2
+        )
+        suppress = d < 0.5 * (diag + diag[j]) * cfg.nms_iou_threshold
+        alive = jnp.where(ok & suppress, 0.0, alive).at[j].set(0.0)
+        return keep_boxes, keep_scores, keep_valid, alive
+
+    init = (
+        jnp.zeros((K, 7)), jnp.zeros((K,)), jnp.zeros((K,)),
+        jnp.ones((cfg.nms_pre,)),
+    )
+    keep_boxes, keep_scores, keep_valid, _ = jax.lax.fori_loop(0, K, body, init)
+    return keep_boxes, keep_scores, keep_valid
+
+
+class Detector3D:
+    """Drop-in online 3D detector (reference detector3d.py API)."""
+
+    def __init__(self, params=None, cfg: PointPillarsConfig = PointPillarsConfig()):
+        self.cfg = cfg
+        self.params = params or init_params(cfg, jax.random.PRNGKey(0))
+        H = cfg.grid_size[1] // 2
+        W = cfg.grid_size[0] // 2
+        self.anchors = jnp.asarray(_anchors(cfg, (H, W)))
+
+    def make_prediction(self, velo_points: np.ndarray) -> np.ndarray:
+        """(N, 4) scan -> (K, 7) [x, y, z, w, l, h, yaw] car boxes."""
+        pil = pillarize(velo_points, self.cfg)
+        pil = {k: jnp.asarray(v) for k, v in pil.items()}
+        cls, deltas, dirs = forward(self.params, pil, self.cfg)
+        boxes = decode_boxes(deltas, self.anchors)
+        out_boxes, scores, valid = select_detections(cls, boxes, dirs, self.cfg)
+        out = np.asarray(out_boxes)[np.asarray(valid) > 0]
+        return out
+
+
+# ---------------------------------------------------------------------------
+# mmdet3d checkpoint ingestion
+
+
+def _fold_bn(w, b, bn_w, bn_b, bn_mean, bn_var, eps=1e-3):
+    """Fold BatchNorm into the preceding conv/linear (inference)."""
+    scale = bn_w / np.sqrt(bn_var + eps)
+    if w.ndim == 4:
+        w = w * scale[:, None, None, None]
+    else:
+        w = w * scale[:, None]
+    b = (b - bn_mean) * scale + bn_b
+    return w, b
+
+
+def load_mmdet3d_checkpoint(path: str, cfg: PointPillarsConfig = PointPillarsConfig()):
+    """Ingest an mmdet3d PointPillars .pth (key conventions of the
+    reference's configs/config_pointpillars.py model)."""
+    import torch
+
+    saved = torch.load(path, map_location="cpu", weights_only=False)
+    sd = saved.get("state_dict", saved)
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+
+    def get(k):
+        return sd[k]
+
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    # PFN: linear + BN1d folded
+    w = get("voxel_encoder.pfn_layers.0.linear.weight")   # (64, 10)
+    bnw = get("voxel_encoder.pfn_layers.0.norm.weight")
+    bnb = get("voxel_encoder.pfn_layers.0.norm.bias")
+    bnm = get("voxel_encoder.pfn_layers.0.norm.running_mean")
+    bnv = get("voxel_encoder.pfn_layers.0.norm.running_var")
+    wf, bf = _fold_bn(w, np.zeros(w.shape[0]), bnw, bnb, bnm, bnv)
+    params["pfn"]["w"] = jnp.asarray(wf.T, jnp.float32)
+    params["pfn"]["b"] = jnp.asarray(bf, jnp.float32)
+
+    # backbone blocks: conv (no bias) + BN pairs
+    for bi in range(len(cfg.backbone_layers)):
+        n_layers = cfg.backbone_layers[bi] + 1
+        for li in range(n_layers):
+            base = f"backbone.blocks.{bi}.{li * 3}"
+            w = get(base + ".weight")
+            bn = f"backbone.blocks.{bi}.{li * 3 + 1}"
+            wf, bf = _fold_bn(
+                w, np.zeros(w.shape[0]), get(bn + ".weight"), get(bn + ".bias"),
+                get(bn + ".running_mean"), get(bn + ".running_var"),
+            )
+            params["blocks"][bi][li] = {
+                "w": jnp.asarray(wf, jnp.float32),
+                "b": jnp.asarray(bf, jnp.float32),
+            }
+    # neck deblocks (ConvTranspose2d + BN) — our resize+conv substitute
+    # reuses the kernel transposed into OIHW
+    for di in range(len(cfg.fpn_channels)):
+        base = f"neck.deblocks.{di}.0"
+        w = get(base + ".weight")
+        if w.shape[0] != cfg.fpn_channels[di]:       # ConvTranspose (I, O, k, k)
+            w = w.transpose(1, 0, 2, 3)
+        bn = f"neck.deblocks.{di}.1"
+        wf, bf = _fold_bn(
+            w, np.zeros(w.shape[0]), get(bn + ".weight"), get(bn + ".bias"),
+            get(bn + ".running_mean"), get(bn + ".running_var"),
+        )
+        params["deblocks"][di] = {
+            "w": jnp.asarray(wf, jnp.float32),
+            "b": jnp.asarray(bf, jnp.float32),
+        }
+    for name, key in (
+        ("head_cls", "bbox_head.conv_cls"),
+        ("head_box", "bbox_head.conv_reg"),
+        ("head_dir", "bbox_head.conv_dir_cls"),
+    ):
+        params[name] = {
+            "w": jnp.asarray(get(key + ".weight"), jnp.float32),
+            "b": jnp.asarray(get(key + ".bias"), jnp.float32),
+        }
+    return params
