@@ -1,1 +1,1 @@
-from . import offline, synthetic
+from . import maskrcnn, offline, pointpillars, synthetic
