@@ -59,6 +59,8 @@ class DetectionConfig:
     detect_online: bool = False
     path_label_2d: Optional[str] = None
     path_label_3d: Optional[str] = None
+    weight_path_2d: Optional[str] = None
+    weight_path_3d: Optional[str] = None
     min_bb_area: float = 1600.0
     min_mask_area: float = 1000.0
     downsample_ratio: float = 4.0
@@ -149,6 +151,8 @@ class SystemConfig:
             detect_online=cfg.get("detect_online", False),
             path_label_2d=cfg.get("path_label_2d"),
             path_label_3d=cfg.get("path_label_3d"),
+            weight_path_2d=cfg.get("Detector2D", {}).get("weight_path"),
+            weight_path_3d=cfg.get("Detector3D", {}).get("weight_path"),
             min_bb_area=cfg.get("min_bb_area", 1600.0),
             min_mask_area=cfg.get("min_mask_area", 1000.0),
             downsample_ratio=cfg.get("downsample_ratio", 4.0),

@@ -19,6 +19,31 @@ from ..objects import detections as det_mod
 from ..utils import io as io_mod
 
 
+def get_detectors(det_cfg, object_class: str = "cars"):
+    """Online-detector factory (reference reconstruct/__init__.py:1-13):
+    returns (detector_2d, detector_3d) or (None, None) for offline mode.
+    Weight paths, when configured and present, are ingested from the
+    reference's mmdet/mmdet3d checkpoints."""
+    if det_cfg is None or not getattr(det_cfg, "detect_online", False):
+        return None, None
+    import os
+
+    from ..detect import maskrcnn, pointpillars
+
+    w2d = getattr(det_cfg, "weight_path_2d", None)
+    params_2d = (
+        maskrcnn.load_mmdet_checkpoint(w2d) if w2d and os.path.exists(w2d) else None
+    )
+    det2d = maskrcnn.Detector2D(params=params_2d, object_class=object_class)
+    w3d = getattr(det_cfg, "weight_path_3d", None)
+    params_3d = (
+        pointpillars.load_mmdet3d_checkpoint(w3d)
+        if w3d and os.path.exists(w3d) else None
+    )
+    det3d = pointpillars.Detector3D(params=params_3d)
+    return det2d, det3d
+
+
 class KITTISequence:
     def __init__(self, data_dir: str, detection_cfg=None):
         self.root = data_dir
@@ -37,6 +62,7 @@ class KITTISequence:
             f for f in os.listdir(self.rgb_dir) if f.endswith(".png")
         ] if os.path.isdir(self.rgb_dir) else []
         self.num_frames = len(frames)
+        self.detector_2d, self.detector_3d = get_detectors(detection_cfg)
 
     def timestamp(self, frame_id: int) -> float:
         if self.timestamps is not None and frame_id < len(self.timestamps):
@@ -59,12 +85,21 @@ class KITTISequence:
         )
 
     def get_frame_detections(self, frame_id: int, image_hw):
-        """Offline-label playback -> list[Detection] (kitti_sequence.py's
-        FrameWithLiDAR.get_detections, offline branch)."""
+        """Per-frame object measurements (kitti_sequence.py's
+        FrameWithLiDAR.get_detections): online detector inference when
+        configured, otherwise cached-label playback."""
         cfg = self.det_cfg
-        boxes_3d = offline.load_labels_3d(cfg.path_label_3d, frame_id)
-        boxes_2d, masks_2d = offline.load_labels_2d(cfg.path_label_2d, frame_id)
         velo = self.load_velodyne(frame_id)
+        if self.detector_3d is not None:
+            boxes_3d = self.detector_3d.make_prediction(velo)
+            img = io_mod.load_image_rgb(
+                os.path.join(self.rgb_dir, f"{frame_id:06d}.png")
+            )
+            pred = self.detector_2d.make_prediction(img)
+            boxes_2d, masks_2d = pred["pred_boxes"], pred["pred_masks"]
+        else:
+            boxes_3d = offline.load_labels_3d(cfg.path_label_3d, frame_id)
+            boxes_2d, masks_2d = offline.load_labels_2d(cfg.path_label_2d, frame_id)
         return det_mod.build_frame_detections(
             boxes_3d, masks_2d, boxes_2d, velo, self.K, self.invK,
             self.T_cam_velo, image_hw,
