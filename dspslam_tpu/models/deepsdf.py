@@ -82,6 +82,9 @@ def apply(params: dict, inputs: jnp.ndarray, config: DecoderConfig) -> jnp.ndarr
     x = inputs.astype(cdt)
     orig = x
     n_layers = len(params["w"])
+    # reference semantics (deep_sdf_decoder.py:85-105 with num_layers =
+    # len(dims) = n_linear + 1): ReLU after every layer except the LAST
+    # linear; use_tanh applies to the last linear's output.
     for layer, (w, b) in enumerate(zip(params["w"], params["b"])):
         if layer in config.latent_in:
             x = jnp.concatenate([x, orig], axis=-1)
@@ -89,9 +92,9 @@ def apply(params: dict, inputs: jnp.ndarray, config: DecoderConfig) -> jnp.ndarr
             jnp.dot(x, w.astype(cdt), preferred_element_type=jnp.float32)
             + b.astype(jnp.float32)
         )
-        if layer == n_layers - 2 and config.use_tanh:
+        if layer == n_layers - 1 and config.use_tanh:
             x = jnp.tanh(x)
-        if layer < n_layers - 2:
+        if layer < n_layers - 1:
             x = jax.nn.relu(x).astype(cdt)
     x = x[..., 0]
     if config.final_tanh:

@@ -52,7 +52,9 @@ class TestArchitecture:
         params = deepsdf.init_params(cfg, jax.random.PRNGKey(0))
 
         class TorchDecoder(nn.Module):
-            # independent re-expression of the DeepSDF forward rule
+            # re-expression of the DeepSDF forward rule with the
+            # reference's counting: num_layers = len(dims) = n_linear + 1,
+            # ReLU for layer < num_layers - 2 == all but the last linear
             def __init__(self):
                 super().__init__()
                 self.lins = nn.ModuleList(
@@ -61,11 +63,12 @@ class TestArchitecture:
 
             def forward(self, inp):
                 x = inp
+                num_layers = len(self.lins) + 1
                 for layer, lin in enumerate(self.lins):
                     if layer in cfg.latent_in:
                         x = torch.cat([x, inp], dim=-1)
                     x = lin(x)
-                    if layer < len(self.lins) - 2:
+                    if layer < num_layers - 2:
                         x = torch.relu(x)
                 return torch.tanh(x)
 
@@ -98,7 +101,7 @@ class TestCheckpointLoading:
                 if layer in cfg.latent_in:
                     x = torch.cat([x, inp], dim=-1)
                 x = lin(x)
-                if layer < len(lins) - 2:
+                if layer < len(lins) - 1:   # ReLU all but the last linear
                     x = torch.relu(x)
             return torch.tanh(x)
 

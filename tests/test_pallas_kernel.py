@@ -1,0 +1,47 @@
+"""Pallas fused decoder-gradient kernel: parity with the autodiff path
+(interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dspslam_tpu.models import deepsdf
+from dspslam_tpu.ops.pallas import decoder_kernel as dk
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = deepsdf.DecoderConfig()
+    params = deepsdf.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+class TestFusedKernel:
+    def test_supports_canonical_arch_only(self):
+        assert dk.supports(deepsdf.DecoderConfig())
+        assert not dk.supports(deepsdf.DecoderConfig(code_len=8))
+        assert not dk.supports(deepsdf.DecoderConfig(latent_in=()))
+
+    def test_matches_autodiff(self, setup):
+        cfg, params = setup
+        x = jax.random.normal(jax.random.PRNGKey(1), (300, 67)) * 0.3
+        fn = deepsdf.make_decoder_fn(cfg)
+        sdf_ref, grad_ref = deepsdf.sdf_and_input_grad(fn, params, x)
+        sdf, grad = dk.fused_sdf_and_input_grad(params, x, True)
+        np.testing.assert_allclose(np.asarray(sdf), np.asarray(sdf_ref), atol=1e-5)
+        err = np.abs(np.asarray(grad) - np.asarray(grad_ref)).max(axis=1)
+        # points exactly on a ReLU boundary pick a different (equally
+        # valid) subgradient; everything else must agree tightly
+        assert np.quantile(err, 0.99) < 1e-4
+        assert (err > 1e-4).sum() <= 3
+
+    def test_padding_rows_sliced(self, setup):
+        cfg, params = setup
+        x = jax.random.normal(jax.random.PRNGKey(2), (7, 67)) * 0.3
+        sdf, grad = dk.fused_sdf_and_input_grad(params, x, True)
+        assert sdf.shape == (7,)
+        assert grad.shape == (7, 67)
+        # consistent with a different batch size containing the same rows
+        sdf2, grad2 = dk.fused_sdf_and_input_grad(params, x[:3], True)
+        np.testing.assert_allclose(np.asarray(sdf[:3]), np.asarray(sdf2), atol=1e-6)
