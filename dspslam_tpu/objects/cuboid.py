@@ -75,6 +75,25 @@ def compute_cuboid_pca(points_w: np.ndarray):
     }
 
 
+def remove_outliers_model(
+    points_w: np.ndarray, T_wo_sim3: np.ndarray,
+    vertices_obj: np.ndarray, margin: float = 0.3,
+):
+    """Flag object member points outside the reconstructed mesh's bbox
+    (margin-expanded, object units) — RemoveOutliersModel
+    (MapObject.cc:278-322). Returns inlier mask over points_w."""
+    if len(points_w) == 0 or vertices_obj is None or len(vertices_obj) == 0:
+        return np.ones(len(points_w), bool)
+    sR = T_wo_sim3[:3, :3]
+    s = float(np.linalg.det(sR)) ** (1.0 / 3.0)
+    R = sR / s
+    t = T_wo_sim3[:3, 3]
+    x_o = ((points_w - t) @ R) / s
+    lo = vertices_obj.min(axis=0) - margin
+    hi = vertices_obj.max(axis=0) + margin
+    return np.all((x_o >= lo) & (x_o <= hi), axis=-1)
+
+
 def flipped_pose(T_wo_sim3: np.ndarray) -> np.ndarray:
     """180-degree yaw flip about the object's y axis — the mono
     orientation-ambiguity alternative initialization
