@@ -1,1 +1,1 @@
-from . import renderer
+from . import frame_drawer, renderer
