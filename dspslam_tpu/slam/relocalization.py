@@ -60,6 +60,21 @@ class Relocalizer:
                 pairs.append((i, p))
         if len(pairs) < MIN_INLIERS:
             return False
+        # wide-baseline initial pose from RANSAC PnP (PnPsolver parity);
+        # falls back to the candidate keyframe's pose when degenerate
+        from . import pnp
+
+        K_mat = np.asarray(
+            [
+                [float(self.intrinsics[0]), 0, float(self.intrinsics[2])],
+                [0, float(self.intrinsics[1]), float(self.intrinsics[3])],
+                [0, 0, 1.0],
+            ]
+        )
+        pts3 = np.stack([p.position for _, p in pairs])
+        uv = np.stack([frame.feats["xy"][kp_i] for kp_i, _ in pairs])
+        T_init, _ = pnp.ransac_pnp(pts3, uv, K_mat)
+        T_start = T_init if T_init is not None else kf.T_cw
         n = min(len(pairs), POINT_CAP)
         pts_w = np.zeros((POINT_CAP, 3), np.float32)
         obs = np.zeros((POINT_CAP, 3), np.float32)
@@ -76,7 +91,8 @@ class Relocalizer:
             inv_s2[j] = 1.0 / frame.feats["sigma2"][kp_i]
             vmask[j] = 1.0
         T, inlier, n_in = pose_opt.optimize_pose(
-            jnp.asarray(kf.T_cw), jnp.asarray(pts_w), jnp.asarray(obs),
+            jnp.asarray(np.asarray(T_start, np.float32)), jnp.asarray(pts_w),
+            jnp.asarray(obs),
             jnp.asarray(inv_s2), jnp.asarray(vmask), jnp.asarray(smask),
             self.intrinsics,
         )
