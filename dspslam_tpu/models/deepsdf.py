@@ -104,7 +104,14 @@ def apply(params: dict, inputs: jnp.ndarray, config: DecoderConfig) -> jnp.ndarr
 
 def make_decoder_fn(config: DecoderConfig):
     """Close over config -> decoder_fn(params, inputs). The shape/GN stack
-    is generic over this signature so tests can substitute analytic SDFs."""
+    is generic over this signature so tests can substitute analytic SDFs.
+
+    Note: ops.pallas.decoder_kernel.fused_sdf_and_input_grad is a faster
+    standalone forward+gradient primitive for the canonical architecture
+    (~1.4x vs the vmap(value_and_grad) path at 10k points on v5e), but it
+    must be called UNBATCHED — vmapping a pallas_call over objects
+    miscompiles here, so the GN stack keeps the generic path.
+    """
 
     def decoder_fn(params, inputs):
         return apply(params, inputs, config)
