@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from . import deepsdf
@@ -96,6 +97,79 @@ def train_step(state: TrainState, batch: dict, config, optimizer) -> tuple:
     return (
         TrainState(params, codes, opt_state, state.step + 1),
         loss,
+    )
+
+
+def save_checkpoint(state: TrainState, path: str):
+    """Persist decoder weights + latent table (orbax)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            path,
+            {
+                "params": state.params,
+                "codes": state.codes,
+                "step": state.step,
+            },
+            force=True,
+        )
+
+
+def load_checkpoint(path: str, config, num_shapes: int, optimizer=None):
+    """Restore a TrainState (fresh optimizer state at the saved params)."""
+    import orbax.checkpoint as ocp
+
+    template = init_state(
+        config, num_shapes, jax.random.PRNGKey(0), optimizer
+    )
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            path,
+            {
+                "params": template.params,
+                "codes": template.codes,
+                "step": template.step,
+            },
+        )
+    optimizer = optimizer or make_optimizer()
+    return TrainState(
+        params=restored["params"],
+        codes=restored["codes"],
+        opt_state=optimizer.init((restored["params"], restored["codes"])),
+        step=restored["step"],
+    )
+
+
+def export_reference_format(state: TrainState, config, out_dir: str):
+    """Write the trained decoder as a reference-style DeepSDF experiment
+    dir (specs.json + ModelParameters/latest.pth) so either framework can
+    load it (workspace.py:202-223 contract)."""
+    import json
+    import os
+
+    import torch
+
+    os.makedirs(os.path.join(out_dir, "ModelParameters"), exist_ok=True)
+    specs = {
+        "CodeLength": config.code_len,
+        "NetworkArch": "deep_sdf_decoder",
+        "NetworkSpecs": {
+            "dims": list(config.hidden),
+            "latent_in": list(config.latent_in),
+            "weight_norm": False,
+            "use_tanh": bool(config.use_tanh),
+        },
+    }
+    with open(os.path.join(out_dir, "specs.json"), "w") as f:
+        json.dump(specs, f, indent=2)
+    sd = {}
+    for i, (w, b) in enumerate(zip(state.params["w"], state.params["b"])):
+        sd[f"lin{i}.weight"] = torch.from_numpy(np.asarray(w).T.copy())
+        sd[f"lin{i}.bias"] = torch.from_numpy(np.asarray(b).copy())
+    torch.save(
+        {"model_state_dict": sd},
+        os.path.join(out_dir, "ModelParameters", "latest.pth"),
     )
 
 
