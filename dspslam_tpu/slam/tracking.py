@@ -168,10 +168,29 @@ class Tracker:
                 self.frames_since_kf += 1
             else:
                 self.state = State.LOST
+                # reference failure recovery: if tracking is lost right
+                # after initialization (<= 5 keyframes), reset the whole
+                # map and re-initialize (Tracking.cc:483-491)
+                if len(self.map.keyframes) <= 5 and self.relocalizer is None:
+                    self.reset()
         self.trajectory.append(
             (frame.timestamp, frame.T_cw.copy(), self.state != State.OK)
         )
         self.last_frame = frame
+
+    def reset(self):
+        """Full system reset: wipe the map and return to initialization
+        (System::Reset / Tracking reset path)."""
+        self.map.keyframes.clear()
+        self.map.points.clear()
+        self.map.objects.clear()
+        self.state = State.NOT_INITIALIZED
+        self.last_frame = None
+        self.velocity = None
+        self.ref_kf = None
+        self.new_keyframes.clear()
+        self._init_ref = None
+        self.frames_since_kf = 0
 
     # ------------------------------------------------------------------
     def _initialize_mono(self, frame: Frame):
