@@ -89,6 +89,11 @@ def main(argv=None):
     p.add_argument("--no_objects", action="store_true")
     p.add_argument("--no_loop", action="store_true")
     p.add_argument("--vocabulary", help="trained vocabulary .npz")
+    p.add_argument("--profile_dir", help="write a jax.profiler trace here")
+    p.add_argument(
+        "--save_state", help="write a resumable map checkpoint (npz) here"
+    )
+    p.add_argument("--overlay_dir", help="write per-frame tracking overlays")
     args = p.parse_args(argv)
 
     system_cfg = (
@@ -120,10 +125,27 @@ def main(argv=None):
 
     n = args.frames or seq.num_frames
     timer = StageTimer()
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
     for frame_id in range(n):
         img_l, img_r = seq.load_stereo_gray(frame_id)
         with timer.stage("track"):
-            system.track_stereo(img_l, img_r, seq.timestamp(frame_id))
+            frame = system.track_stereo(img_l, img_r, seq.timestamp(frame_id))
+        if args.overlay_dir:
+            from PIL import Image
+
+            from ..viz import frame_drawer
+
+            os.makedirs(args.overlay_dir, exist_ok=True)
+            overlay = frame_drawer.draw_frame(
+                img_l, frame.feats, frame.map_point_ids,
+                state=system.state.name,
+            )
+            Image.fromarray(overlay).save(
+                os.path.join(args.overlay_dir, f"{frame_id:06d}.png")
+            )
         if frame_id % 20 == 0:
             print(
                 f"frame {frame_id}/{n} state={system.state.name} "
@@ -131,8 +153,21 @@ def main(argv=None):
                 f"objs={len(system.map.objects)}"
             )
 
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
     os.makedirs(args.map_dir, exist_ok=True)
     system.save_map(args.map_dir)
+    if args.save_state:
+        from ..slam import state_io
+
+        state_io.save_state(system.map, args.save_state)
+    from ..viz import renderer as viz_renderer
+
+    viz_renderer.save_map_snapshot(
+        system.map, os.path.join(args.map_dir, "map_snapshot.png")
+    )
     print(timer)
     stats = timer.report().get("track", {})
     print(

@@ -133,6 +133,7 @@ def match_in_windows(
     return idx, d
 
 
+@partial(jax.jit, static_argnames=("radius", "max_dist", "ratio"))
 def match_by_projection(
     proj_xy: jnp.ndarray,      # (N, 2) projected map-point pixels
     proj_valid: jnp.ndarray,   # (N,)

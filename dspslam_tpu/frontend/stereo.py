@@ -74,28 +74,43 @@ def stereo_match(
     second = jnp.min(d2, axis=1)
     ok = ok & (best.astype(jnp.float32) < 0.8 * second.astype(jnp.float32))
 
-    # subpixel SAD refinement around the matched column (Frame.cc:540-610)
-    def refine(xi, yi, xri):
-        xl_i = xi.astype(jnp.int32)
-        y_i = yi.astype(jnp.int32)
-        xr_i = xri.astype(jnp.int32)
-        patch_l = _gather_patch_row(img_l, xl_i, y_i, _SAD_HALF)
-        sads = []
-        for s in range(-_SHIFTS, _SHIFTS + 1):
-            patch_r = _gather_patch_row(img_r, xr_i + s, y_i, _SAD_HALF)
-            sads.append(jnp.sum(jnp.abs(patch_l - patch_r)))
-        sads = jnp.stack(sads)                                # (11,)
-        k = jnp.argmin(sads)
-        k_in = jnp.clip(k, 1, 2 * _SHIFTS - 1)
-        sm1, s0, sp1 = sads[k_in - 1], sads[k_in], sads[k_in + 1]
-        denom = sm1 + sp1 - 2.0 * s0
-        delta = jnp.where(
-            jnp.abs(denom) > 1e-6, (sm1 - sp1) / (2.0 * denom), 0.0
-        )
-        delta = jnp.clip(delta, -1.0, 1.0)
-        return xri + (k_in - _SHIFTS).astype(jnp.float32) + delta
-
-    u_right = jax.vmap(refine)(xl, yl, xr[best_idx])
+    # subpixel SAD refinement around the matched column (Frame.cc:540-610),
+    # as ONE batched gather per image + an unrolled sliding-window SAD —
+    # per-keypoint dynamic slices vmapped poorly on TPU (gather storms)
+    H, W = img_l.shape
+    size = 2 * _SAD_HALF + 1                                  # 11
+    wide = size + 2 * _SHIFTS                                 # 21
+    yl_i = jnp.clip(yl.astype(jnp.int32), _SAD_HALF, H - _SAD_HALF - 1)
+    xl_i = jnp.clip(xl.astype(jnp.int32), _SAD_HALF, W - _SAD_HALF - 1)
+    xr_i = jnp.clip(
+        xr[best_idx].astype(jnp.int32), _SAD_HALF + _SHIFTS,
+        W - _SAD_HALF - _SHIFTS - 1,
+    )
+    dy = jnp.arange(-_SAD_HALF, _SAD_HALF + 1)
+    dxl = jnp.arange(-_SAD_HALF, _SAD_HALF + 1)
+    dxw = jnp.arange(-_SAD_HALF - _SHIFTS, _SAD_HALF + _SHIFTS + 1)
+    rows = yl_i[:, None, None] + dy[None, :, None]            # (N, 11, 1)
+    patch_l = img_l[rows, xl_i[:, None, None] + dxl[None, None, :]]   # (N, 11, 11)
+    patch_r = img_r[rows, xr_i[:, None, None] + dxw[None, None, :]]   # (N, 11, 21)
+    sads = jnp.stack(
+        [
+            jnp.sum(jnp.abs(patch_l - patch_r[:, :, s : s + size]), axis=(1, 2))
+            for s in range(2 * _SHIFTS + 1)
+        ],
+        axis=-1,
+    )                                                          # (N, 11)
+    k = jnp.argmin(sads, axis=-1)
+    k_in = jnp.clip(k, 1, 2 * _SHIFTS - 1)
+    take = lambda off: jnp.take_along_axis(
+        sads, (k_in + off)[:, None], axis=1
+    )[:, 0]
+    sm1, s0, sp1 = take(-1), take(0), take(1)
+    denom = sm1 + sp1 - 2.0 * s0
+    delta = jnp.where(jnp.abs(denom) > 1e-6, (sm1 - sp1) / (2.0 * denom), 0.0)
+    delta = jnp.clip(delta, -1.0, 1.0)
+    u_right = (
+        xr[best_idx] + (k_in - _SHIFTS).astype(jnp.float32) + delta
+    )
     disparity = xl - u_right
     ok = ok & (disparity > 0.01) & (disparity <= max_disparity)
     depth = jnp.where(ok, bf / jnp.maximum(disparity, 0.01), -1.0)
