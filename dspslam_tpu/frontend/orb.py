@@ -269,11 +269,16 @@ def extract(img: jnp.ndarray, params: ORBParams = ORBParams()):
             h = int(round(H0 / scales[level]))
             w = int(round(W0 / scales[level]))
             level_img = jax.image.resize(img, (h, w), method="bilinear")
-        score = fast_score_map(level_img, params.fast_threshold)
-        # reference falls back to the min threshold in empty cells; we take
-        # the union in one pass: low-threshold map, dominated by the high
-        score_lo = fast_score_map(level_img, params.min_threshold)
-        score = jnp.maximum(score, 0.5 * score_lo)
+        # One FAST pass at the MIN threshold gives both detector tiers: the
+        # arc-min score V satisfies "corner at threshold t iff V > t", so
+        # high-threshold corners are exactly {V > iniThFAST}. Boosting them
+        # by a constant reproduces the reference's preference for strong
+        # corners with low-threshold fallback in sparse cells
+        # (ORBextractor.cc:766-835) at half the detection cost.
+        score = fast_score_map(level_img, params.min_threshold)
+        score = jnp.where(
+            score > params.fast_threshold, score + 1e4, score
+        )
         xy, resp, valid = select_keypoints(
             score, budgets[level], params.cell_size, params.per_cell
         )
