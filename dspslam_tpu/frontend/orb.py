@@ -249,6 +249,14 @@ def brief_descriptors(
 
 
 @partial(jax.jit, static_argnums=(1,))
+def extract_batch(imgs: jnp.ndarray, params: ORBParams = ORBParams()):
+    """Batched extraction over (B, H, W) images — e.g. a stereo pair runs
+    as ONE device program (double-batched kernels amortize the many small
+    per-level ops that make single-image extraction latency-bound)."""
+    return jax.vmap(lambda im: extract(im, params))(imgs)
+
+
+@partial(jax.jit, static_argnums=(1,))
 def extract(img: jnp.ndarray, params: ORBParams = ORBParams()):
     """Multi-scale ORB extraction on a (H, W) float32 image in [0, 255].
 

@@ -98,6 +98,8 @@ class Tracker:
     # ------------------------------------------------------------------
     def process_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
                        timestamp: float) -> Frame:
+        # two serial extracts beat a vmapped pair on v5e (batched gathers
+        # in selection/descriptor stages dominate): 2 x 16 ms vs 38 ms
         feats_l = orb.extract(jnp.asarray(img_l, jnp.float32), self.orb_params)
         feats_r = orb.extract(jnp.asarray(img_r, jnp.float32), self.orb_params)
         st = stereo.stereo_match(
