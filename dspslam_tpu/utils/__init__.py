@@ -1,1 +1,1 @@
-from . import io, timing
+from . import evaluation, io, timing
