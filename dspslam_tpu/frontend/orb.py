@@ -209,14 +209,18 @@ def orientations(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
 
 
 def gaussian_blur7(img: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
-    """Separable 7x7 Gaussian (the reference blurs before BRIEF sampling)."""
+    """Separable 7x7 Gaussian (the reference blurs before BRIEF sampling).
+    Two 1-D convolutions via conv_general_dilated — one fused kernel per
+    axis instead of a vmapped per-row convolve."""
     x = np.arange(-3, 4)
     g = np.exp(-0.5 * (x / sigma) ** 2)
     g = (g / g.sum()).astype(np.float32)
-    kern = jnp.asarray(g)
-    img1 = jax.vmap(lambda row: jnp.convolve(row, kern, mode="same"))(img)
-    img2 = jax.vmap(lambda col: jnp.convolve(col, kern, mode="same"))(img1.T).T
-    return img2
+    kern_h = jnp.asarray(g).reshape(1, 1, 1, 7)
+    kern_v = jnp.asarray(g).reshape(1, 1, 7, 1)
+    x4 = img[None, None, :, :]
+    x4 = jax.lax.conv_general_dilated(x4, kern_h, (1, 1), "SAME")
+    x4 = jax.lax.conv_general_dilated(x4, kern_v, (1, 1), "SAME")
+    return x4[0, 0]
 
 
 def brief_descriptors(
