@@ -139,7 +139,8 @@ class LocalMapper:
                 if not ok:
                     continue
                 p = MapPoint(
-                    X.astype(np.float32), kf.feats["desc"][i], kf.id
+                    X.astype(np.float32), kf.feats["desc"][i], kf.id,
+                    int(kf.feats["level"][i]),
                 )
                 self.map.add_point(p)
                 self.map.add_observation(p, kf, int(i))

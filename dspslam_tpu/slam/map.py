@@ -58,11 +58,13 @@ class Frame:
 class MapPoint:
     _ids = itertools.count()
 
-    def __init__(self, position: np.ndarray, descriptor: np.ndarray, ref_kf_id: int):
+    def __init__(self, position: np.ndarray, descriptor: np.ndarray,
+                 ref_kf_id: int, level: int = 0):
         self.id = next(MapPoint._ids)
         self.position = np.asarray(position, np.float32)
         self.descriptor = np.asarray(descriptor)
         self.ref_kf_id = ref_kf_id
+        self.level = int(level)      # pyramid level of the creating keypoint
         self.observations: dict[int, int] = {}   # kf_id -> keypoint index
         self.normal = np.zeros(3, np.float32)
         self.min_distance = 0.0

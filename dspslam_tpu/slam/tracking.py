@@ -244,7 +244,8 @@ class Tracker:
         for j in np.nonzero(good)[0]:
             kp_ref = int(m[j])
             kp_cur = int(idx[m[j]])
-            p = MapPoint(out["points3d"][j], ref.feats["desc"][kp_ref], kf1.id)
+            p = MapPoint(out["points3d"][j], ref.feats["desc"][kp_ref], kf1.id,
+                         int(ref.feats["level"][kp_ref]))
             self.map.add_point(p)
             self.map.add_observation(p, kf1, kp_ref)
             self.map.add_observation(p, kf2, kp_cur)
@@ -375,11 +376,7 @@ class Tracker:
             p = self.map.points.get(int(p_id))
             if p is None or p.bad:
                 continue
-            kf = self.map.keyframes.get(p.ref_kf_id)
-            lvl = 0
-            if kf is not None and p.id in kf.map_point_ids:
-                pass
-            entries.append((p.id, p.position, p.descriptor, lvl))
+            entries.append((p.id, p.position, p.descriptor, p.level))
         return entries
 
     # ------------------------------------------------------------------
@@ -438,7 +435,8 @@ class Tracker:
                      (v - self.cfg.cy) * z / self.cfg.fy, z, 1.0], np.float32
                 )
                 xw = (T_wc @ xc)[:3]
-                p = MapPoint(xw, frame.feats["desc"][kp_idx], kf.id)
+                p = MapPoint(xw, frame.feats["desc"][kp_idx], kf.id,
+                             int(frame.feats["level"][kp_idx]))
                 self.map.add_point(p)
                 self.map.add_observation(p, kf, int(kp_idx))
                 frame.map_point_ids[kp_idx] = p.id

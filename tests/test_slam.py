@@ -87,7 +87,7 @@ class TestTracking:
         assert len(system.map.points) > 100
         # covisibility connects consecutive keyframes
         kfs = sorted(system.map.keyframes)
-        assert any(system.map.keyframes[kfs[1]].covis)
+        assert len(system.map.keyframes[kfs[1]].covis) > 0
 
     def test_stereo_depths_correct(self, slam_result):
         system, _ = slam_result
