@@ -83,6 +83,14 @@ class SLAMSystem:
         self.frame_idx += 1
         return frame
 
+    def activate_localization_mode(self):
+        """Tracking-only: stop mapping, keep localizing against the
+        current (frozen) map (System::ActivateLocalizationMode)."""
+        self.tracker.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.tracker.localization_only = False
+
     def _drain_keyframes(self):
         while self.tracker.new_keyframes:
             kf = self.tracker.new_keyframes.pop(0)
@@ -132,6 +140,12 @@ class SLAMSystem:
                 )
                 f.write(" ".join(f"{c:.9f}" for c in obj.code) + "\n")
         self.save_trajectory_kitti(os.path.join(out_dir, "Cameras.txt"))
+
+    def save_map_current_frame(self, out_dir: str, frame_idx: int):
+        """Per-frame incremental map dump (System::SaveMapCurrentFrame,
+        System_util.cc:23-107): same three files, into a frame-numbered
+        subdirectory."""
+        self.save_map(os.path.join(out_dir, f"{frame_idx:06d}"))
 
     def save_trajectory_kitti(self, path: str):
         """KITTI format: 3x4 T_wc per tracked frame, lost frames skipped."""

@@ -94,6 +94,7 @@ class Tracker:
         self.new_keyframes: list[KeyFrame] = []   # queue for local mapping
         self.trajectory: list[tuple[float, np.ndarray, bool]] = []
         self.relocalizer = None                   # set by the system facade
+        self.localization_only = False            # tracking against a frozen map
 
     # ------------------------------------------------------------------
     def process_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
@@ -388,7 +389,7 @@ class Tracker:
                 p.n_visible += 1
 
     def _need_new_keyframe(self, frame: Frame) -> bool:
-        if self.ref_kf is None:
+        if self.localization_only or self.ref_kf is None:
             return False
         if self.frames_since_kf >= self.cfg.max_frames_between_kf:
             return True
