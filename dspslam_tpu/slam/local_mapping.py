@@ -19,9 +19,10 @@ import numpy as np
 from ..backend import ba
 from .map import KeyFrame, Map
 
-BA_KF_CAP = 10
-BA_PT_CAP = 2048
-BA_OBS_CAP = 8192
+BA_KF_CAP = 16          # free window keyframes + fixed observers
+BA_WINDOW = 8           # optimized keyframes
+BA_PT_CAP = 3072
+BA_OBS_CAP = 12288
 BA_OBJ_CAP = 8
 BA_EDGE_CAP = 32
 
@@ -265,28 +266,47 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def local_bundle_adjust(self, kf: KeyFrame):
-        """Pack the covisibility window and run the device BA."""
-        window_ids = self.map.local_keyframes(kf, self.cfg.window - 1)[: BA_KF_CAP]
+        """Pack the covisibility window and run the device BA.
+
+        Mirrors the reference's local BA structure (Optimizer_util.cc:
+        309-430): the covisibility window is optimized, and every OTHER
+        keyframe observing a window point joins as a FIXED camera — its
+        observations constrain the points so they cannot drift to fit
+        only the window (omitting these was a map-corruption source).
+        """
+        window_ids = self.map.local_keyframes(kf, BA_WINDOW - 1)[:BA_WINDOW]
         if len(window_ids) < 2:
             return
-        kf_slot = {kf_id: i for i, kf_id in enumerate(window_ids)}
+
+        # points observed by the window, strongest first under the cap
+        pt_ids = self.map.points_seen_by(window_ids)
+        pt_ids.sort(key=lambda p: -self.map.points[p].n_obs)
+        pt_ids = pt_ids[:BA_PT_CAP]
+
+        # fixed observers: KFs outside the window seeing window points
+        window_set = set(window_ids)
+        observer_counts: dict[int, int] = {}
+        for p_id in pt_ids:
+            for kf_id in self.map.points[p_id].observations:
+                if kf_id not in window_set and kf_id in self.map.keyframes:
+                    observer_counts[kf_id] = observer_counts.get(kf_id, 0) + 1
+        fixed_ids = sorted(observer_counts, key=lambda k: -observer_counts[k])
+        fixed_ids = fixed_ids[: BA_KF_CAP - len(window_ids)]
+
+        all_ids = window_ids + fixed_ids
+        kf_slot = {kf_id: i for i, kf_id in enumerate(all_ids)}
         K = BA_KF_CAP
         kf_poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
-        kf_fixed = np.ones(K, np.float32)     # padded slots held fixed
+        kf_fixed = np.ones(K, np.float32)     # padded + observer slots fixed
         for kf_id, i in kf_slot.items():
             kf_poses[i] = self.map.keyframes[kf_id].T_cw
-            kf_fixed[i] = 0.0
-        # gauge: fix the oldest keyframe in the window (and KF 0 if present)
+            if kf_id in window_set:
+                kf_fixed[i] = 0.0
+        # gauge: fix the oldest window keyframe (and KF 0 if present)
         oldest = min(window_ids)
         kf_fixed[kf_slot[oldest]] = 1.0
         if 0 in kf_slot:
             kf_fixed[kf_slot[0]] = 1.0
-
-        # collect points observed by the window, strongest (most observed)
-        # first so cap truncation drops weakly-constrained points
-        pt_ids = self.map.points_seen_by(window_ids)
-        pt_ids.sort(key=lambda p: -self.map.points[p].n_obs)
-        pt_ids = pt_ids[:BA_PT_CAP]
         pt_slot = {p_id: i for i, p_id in enumerate(pt_ids)}
         P = BA_PT_CAP
         points = np.zeros((P, 3), np.float32)

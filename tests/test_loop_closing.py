@@ -137,3 +137,69 @@ def test_fabricated_loop_correction():
         assert np.isfinite(kf.T_cw).all()
     for p in slam_map.points.values():
         assert np.isfinite(p.position).all()
+
+
+@pytest.mark.slow
+def test_image_based_out_and_back_consistency():
+    """Image-driven out-and-back (16 m travelled): with guaranteed
+    two-layer depth structure the tracker re-associates on the return
+    pass, bounding drift without needing an explicit loop closure (the
+    fabricated-map test above exercises the BoW path). Asserts the
+    trajectory closes near the origin and the map stays finite."""
+    import jax.numpy as jnp
+
+    from dspslam_tpu.frontend import orb
+    from dspslam_tpu.slam.system import SLAMSystem
+    from dspslam_tpu.slam.tracking import State, TrackerConfig
+
+    FX = 500.0
+    CX, CY = 320.0, 120.0
+    BASELINE, FAR_Z, NEAR_Z = 0.4, 10.0, 5.0
+    H, W = 240, 640
+    rng = np.random.default_rng(12)
+    far = rng.normal(80, 10, (H, 4 * W)).astype(np.float32)
+    for _ in range(500):
+        y, x = rng.integers(10, H - 20), rng.integers(10, 4 * W - 20)
+        s = rng.integers(4, 12)
+        far[y : y + s, x : x + s] = rng.uniform(150, 230)
+    near = np.full((H, 8 * W), np.nan, np.float32)
+    # grid placement guarantees near-layer coverage everywhere (random
+    # placement leaves gaps that locally degenerate the scene to a plane)
+    for gx in range(10, 8 * W - 60, 100):
+        for _ in range(2):
+            y = rng.integers(10, H - 48)
+            s = int(rng.integers(24, 44))
+            patch = rng.normal(120, 25, (s, s)).astype(np.float32)
+            for _ in range(6):
+                py, px = rng.integers(2, s - 10, 2)
+                q = rng.integers(4, 8)
+                patch[py : py + q, px : px + q] = rng.uniform(30, 240)
+            near[y : y + s, gx : gx + s] = patch
+
+    def render(cam_x, b=0.0):
+        sf = int(round(FX * (cam_x + b) / FAR_Z))
+        sn = int(round(FX * (cam_x + b) / NEAR_Z))
+        img = far[:, W + sf : 2 * W + sf].copy()
+        crop = near[:, W + sn : W + sn + W]
+        m = ~np.isnan(crop)
+        img[m] = crop[m]
+        return img
+
+    params = orb.ORBParams(n_features=600, n_levels=3)
+    cfg = TrackerConfig(
+        fx=FX, fy=FX, cx=CX, cy=CY, bf=FX * BASELINE, width=W, height=H,
+        min_init_features=150, max_frames_between_kf=3,
+        search_radius_motion=50.0,
+    )
+    system = SLAMSystem(tracker_cfg=cfg, orb_params=params)
+    xs = list(np.arange(0, 8.0, 0.4)) + list(np.arange(8.0, -0.01, -0.4))
+    for k, x in enumerate(xs):
+        system.track_stereo(render(x), render(x, BASELINE), 0.1 * k)
+    assert system.state == State.OK
+    T = system.tracker.trajectory[-1][1]
+    estx = float((-T[:3, :3].T @ T[:3, 3])[0])
+    assert abs(estx) < 0.4, f"endpoint {estx}"
+    lost = sum(1 for _, _, l in system.tracker.trajectory if l)
+    assert lost == 0
+    pos = np.stack([p.position for p in system.map.points.values()])
+    assert np.isfinite(pos).all()
