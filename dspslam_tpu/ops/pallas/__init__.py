@@ -1,1 +1,1 @@
-from . import decoder_kernel
+from . import decoder_kernel, fast_kernel

@@ -1,24 +1,25 @@
 """Pallas TPU kernel: FAST-9/16 corner detection.
 
-The XLA fast_score_map builds 16 rolled copies of the image and an
-unrolled arc reduction — correct, but each roll round-trips HBM. This
-kernel streams overlapping row blocks (3-row halo, fetched by manual
-DMA — BlockSpec cannot express overlapping windows) through VMEM and
-computes everything in-core:
+The XLA fast_score_map builds 16 rolled copies of the image, each
+round-tripping HBM. This kernel streams 48-row output blocks through
+VMEM (fetched with an 8-row halo by manual DMA -- BlockSpec cannot
+express overlapping windows, and TPU DMA slices must be 8-aligned in
+the sublane dimension) and computes the full two-tier response in-core:
 
-* the 16 Bresenham-circle differences are formed from static slices of
-  the haloed block (no rolls);
-* bright/dark comparisons pack into 16-bit words per pixel; a contiguous
-  arc of >= 9 set bits is detected with shift-AND bit tricks on the
-  doubled word (circular runs);
+* the 16 Bresenham-circle neighbours are static slices of the haloed
+  block;
+* bright/dark comparisons pack into one int32 word per pixel per
+  polarity (lo tier bits 0..15, hi tier bits 16..31); a circular
+  contiguous arc of >= 9 set bits is detected by ANDing shifts of the
+  doubled 16-bit word;
 * the response is the sum of absolute circle differences of corner
-  pixels (a standard FAST response variant — ordering-compatible for
-  NMS/top-k, cheaper than the exact arc-min "V"), with corners at the
-  high threshold additionally boosted so the two-tier selection of
-  frontend.orb.select_keypoints works unchanged.
+  pixels (a standard FAST response variant -- ordering-compatible for
+  NMS/top-k), with high-threshold corners boosted so the two-tier
+  selection of frontend.orb.select_keypoints works unchanged.
 
-Detection parity with the XLA path is exact (same corner set at a given
-threshold); response values intentionally differ.
+Detection parity with the XLA path is exact away from the 3-pixel
+border (zero padding vs the XLA path's wraparound); response values
+intentionally differ (sum-|d| vs arc-min V).
 """
 
 from __future__ import annotations
@@ -33,8 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...frontend.orb import _CIRCLE
 
-ROWS = 47            # output rows per grid step
-HALO = 3
+ROWS = 48            # output rows per grid step (8-aligned)
+HALO = 8             # fetched halo rows each side (8-aligned DMA slices)
 
 
 def _kernel(img_hbm, out_ref, scratch, sem, *, w: int, t_lo: float,
@@ -48,10 +49,8 @@ def _kernel(img_hbm, out_ref, scratch, sem, *, w: int, t_lo: float,
     blk = scratch[:]
     center = blk[HALO : HALO + ROWS, 128 : 128 + w]
 
-    bright_lo = jnp.zeros(center.shape, jnp.int32)
-    dark_lo = jnp.zeros(center.shape, jnp.int32)
-    bright_hi = jnp.zeros(center.shape, jnp.int32)
-    dark_hi = jnp.zeros(center.shape, jnp.int32)
+    bright = jnp.zeros(center.shape, jnp.int32)
+    dark = jnp.zeros(center.shape, jnp.int32)
     abs_sum = jnp.zeros(center.shape, jnp.float32)
 
     for k, (dx, dy) in enumerate(_CIRCLE):
@@ -61,24 +60,31 @@ def _kernel(img_hbm, out_ref, scratch, sem, *, w: int, t_lo: float,
         ]
         d = neigh - center
         abs_sum = abs_sum + jnp.abs(d)
-        bit = jnp.int32(1 << k)
+        bit_lo = jnp.int32(1 << k)
+        bit_hi = jnp.int32(
+            np.array(1 << (16 + k), np.uint32).view(np.int32).item()
+        )
         zero = jnp.int32(0)
-        bright_lo = bright_lo | jnp.where(d > t_lo, bit, zero)
-        dark_lo = dark_lo | jnp.where(d < -t_lo, bit, zero)
-        bright_hi = bright_hi | jnp.where(d > t_hi, bit, zero)
-        dark_hi = dark_hi | jnp.where(d < -t_hi, bit, zero)
+        bright = bright | jnp.where(d > t_lo, bit_lo, zero)
+        bright = bright | jnp.where(d > t_hi, bit_hi, zero)
+        dark = dark | jnp.where(d < -t_lo, bit_lo, zero)
+        dark = dark | jnp.where(d < -t_hi, bit_hi, zero)
 
-    def has_run9(word):
+    def has_run9(word16):
         # circular contiguous run of >= 9 bits within 16: double the word;
-        # bit p of AND_{s=0..8}(x >> s) is set iff bits p..p+8 all set
-        x = word | (word << 16)
+        # bit p of AND_{s=0..8}(x >> s) is set iff bits p..p+8 all set.
+        # (Arithmetic >> only pollutes bits >= 24, which are never read.)
+        x = word16 | (word16 << 16)
         y = x
         for s in range(1, 9):
             y = y & (x >> s)
         return (y & jnp.int32(0xFFFF)) != 0
 
-    corner_lo = has_run9(bright_lo) | has_run9(dark_lo)
-    corner_hi = has_run9(bright_hi) | has_run9(dark_hi)
+    mask16 = jnp.int32(0xFFFF)
+    corner_lo = has_run9(bright & mask16) | has_run9(dark & mask16)
+    corner_hi = has_run9((bright >> 16) & mask16) | has_run9(
+        (dark >> 16) & mask16
+    )
     score = jnp.where(corner_lo, abs_sum, 0.0)
     score = jnp.where(corner_hi, score + boost, score)
     out_ref[:] = score
@@ -89,18 +95,16 @@ def fast_score_map_pallas(
     img: jnp.ndarray, t_lo: float = 7.0, t_hi: float = 20.0,
     boost: float = 1e4, interpret: bool = False,
 ):
-    """(H, W) image -> two-tier FAST score map (Pallas row-block kernel).
+    """(H, W) image -> two-tier FAST score map (row-block Pallas kernel).
 
-    Rows pad to a multiple of ROWS; columns pad by a 128-lane halo on
-    each side (keeps every shifted slice lane-aligned). Output matches
-    the input shape.
+    Rows pad to a multiple of ROWS (+ halo); columns pad by a 128-lane
+    halo each side. Output matches the input shape.
     """
     H, W = img.shape
     pad_h = (-H) % ROWS
     wp = W + ((-W) % 128)
     x = jnp.pad(
-        img,
-        ((HALO, HALO + pad_h), (128, 128 + (wp - W))),
+        img, ((HALO, HALO + pad_h), (128, 128 + (wp - W))),
         constant_values=0.0,
     )
     n_blocks = (H + pad_h) // ROWS

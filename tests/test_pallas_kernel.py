@@ -45,3 +45,32 @@ class TestFusedKernel:
         # consistent with a different batch size containing the same rows
         sdf2, grad2 = dk.fused_sdf_and_input_grad(params, x[:3], True)
         np.testing.assert_allclose(np.asarray(sdf[:3]), np.asarray(sdf2), atol=1e-6)
+
+
+class TestFastKernel:
+    """FAST Pallas kernel (interpret mode): exact detection parity.
+
+    Benchmarked on v5e the XLA rolled version is faster (4.6 vs 6.6 ms —
+    the +/-3 column offsets force lane relayouts in Mosaic), so the
+    kernel is an in-tree alternative, not the default path.
+    """
+
+    def test_detection_parity_and_two_tier(self):
+        from dspslam_tpu.frontend import orb
+        from dspslam_tpu.ops.pallas import fast_kernel as fk
+
+        rng = np.random.default_rng(0)
+        img = rng.normal(60, 3, (120, 200)).astype(np.float32)
+        for _ in range(25):
+            y, x = rng.integers(15, 100), rng.integers(15, 180)
+            s = rng.integers(6, 12)
+            img[y : y + s, x : x + s] = 200.0
+        j = jnp.asarray(img)
+        ref = np.asarray(orb.fast_score_map(j, 7.0))
+        out = np.asarray(fk.fast_score_map_pallas(j, 7.0, 20.0, 1e4, True))
+        inner = np.s_[5:-5, 5:-5]
+        assert ((ref > 0)[inner] == (out > 0)[inner]).all()
+        # the high tier must be populated and a strict subset of the low
+        hi = out >= 1e4
+        assert hi.sum() > 100
+        assert (out[hi] > 0).all()
