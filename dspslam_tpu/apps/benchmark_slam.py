@@ -1,0 +1,175 @@
+"""End-to-end SLAM throughput benchmark on live hardware.
+
+Runs the FULL object-aware stereo pipeline (ORB x2, stereo depth,
+projection matching, motion-only GN, keyframing, local mapping with
+joint BA, per-keyframe object GN + meshes) over an in-memory synthetic
+KITTI-like sequence and reports steady-state frames/second — the
+reference's headline "operates at 10 fps" claim (README.md:3), measured
+the same way (wall clock around the per-frame track call,
+dsp_slam.cc:76-115).
+
+Usage:  python -m dspslam_tpu.apps.benchmark_slam [--frames 40]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from ..frontend import orb
+from ..models import deepsdf
+from ..objects.detections import Detection
+from ..objects.pipeline import ObjectPipeline
+from ..shape import gn
+from ..slam.system import SLAMSystem
+from ..slam.tracking import TrackerConfig
+
+FX = FY = 707.0912
+CX, CY = 601.8873, 183.1104
+BF = 379.8145
+H, W = 376, 1241
+FAR_Z, NEAR_Z = 20.0, 10.0
+CODE_LEN = 64
+SPHERES_W = np.array([[2.0, 1.0, 9.0], [-4.0, 0.5, 14.0]], np.float32)
+RADIUS = 1.0
+
+
+def build_world(seed=0):
+    rng = np.random.default_rng(seed)
+    far = rng.normal(80, 10, (H, 3 * W)).astype(np.float32)
+    for _ in range(900):
+        y, x = rng.integers(10, H - 20), rng.integers(10, 3 * W - 20)
+        s = rng.integers(4, 12)
+        far[y : y + s, x : x + s] = rng.uniform(150, 230)
+    near = np.full((H, 6 * W), np.nan, np.float32)
+    for gx in range(10, 6 * W - 60, 120):
+        y = rng.integers(10, H - 48)
+        s = int(rng.integers(24, 44))
+        patch = rng.normal(120, 25, (s, s)).astype(np.float32)
+        for _ in range(6):
+            py, px = rng.integers(2, s - 10, 2)
+            q = rng.integers(4, 8)
+            patch[py : py + q, px : px + q] = rng.uniform(30, 240)
+        near[y : y + s, gx : gx + s] = patch
+    return far, near
+
+
+def render(world, cam_x, baseline_m=0.0):
+    far, near = world
+    sf = int(round(FX * (cam_x + baseline_m) / FAR_Z))
+    sn = int(round(FX * (cam_x + baseline_m) / NEAR_Z))
+    img = far[:, W + sf : 2 * W + sf].copy()
+    crop = near[:, W + sn : W + sn + W]
+    m = ~np.isnan(crop)
+    img[m] = crop[m]
+    return img
+
+
+def make_detections(cam_x, rng):
+    dets = []
+    for c_w in SPHERES_W:
+        c = c_w - np.array([cam_x, 0, 0], np.float32)
+        if c[2] < 3.0:
+            continue
+        d = rng.normal(size=(400, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        toc = -c / np.linalg.norm(c)
+        d = d[(d @ toc) > 0.1][:250]
+        pts = (c + RADIUS * d).astype(np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] *= 2.0
+        T[:3, 3] = c + rng.normal(0, 0.05, 3)
+        uv = pts[:, :2] / pts[:, 2:3]
+        rays = np.concatenate([uv, np.ones((len(uv), 1))], -1).astype(np.float32)
+        bg_dir = (c / np.linalg.norm(c))[None, :] + rng.normal(0, 0.3, (80, 3))
+        bg_dir[:, 2] = np.abs(bg_dir[:, 2]) + 0.5
+        bg = (bg_dir / bg_dir[:, 2:3]).astype(np.float32)[:60]
+        dets.append(Detection(
+            T_cam_obj=T, scale=2.0, box_size=np.full(3, 2.0, np.float32),
+            surface_points=pts,
+            rays=np.concatenate([rays, bg]), depth=pts[:, 2].copy(),
+            num_foreground=len(rays),
+        ))
+    return dets
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=40)
+    p.add_argument("--warmup", type=int, default=8)
+    p.add_argument("--no_objects", action="store_true")
+    args = p.parse_args(argv)
+
+    world = build_world()
+    rng = np.random.default_rng(1)
+    cfg = TrackerConfig(
+        fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, width=W, height=H,
+        min_init_features=400, max_frames_between_kf=5,
+        search_radius_motion=25.0,
+    )
+    cam_xs = {}
+
+    def detection_source(frame_idx):
+        return make_detections(cam_xs[frame_idx], rng)
+
+    def pipeline_factory(slam_map):
+        return ObjectPipeline(
+            slam_map, deepsdf.sphere_decoder_fn,
+            deepsdf.make_sphere_params(code_len=CODE_LEN),
+            gn.GNConfig(code_len=CODE_LEN, k4=0.0, num_iterations=10),
+            max_detections=8, max_surface_points=256, max_rays=512,
+            extract_meshes=True, voxels_dim=33,
+        )
+
+    system = SLAMSystem(
+        tracker_cfg=cfg,
+        orb_params=orb.ORBParams(n_features=2000, n_levels=8),
+        object_pipeline_factory=None if args.no_objects else pipeline_factory,
+        detection_source=None if args.no_objects else detection_source,
+    )
+
+    import jax
+
+    step = 0.3
+    times = []
+    # double-buffered loader: upload pair k+1 asynchronously while frame k
+    # computes (the standard producer/consumer structure of the reference's
+    # main loop; host->device transfer otherwise serializes on relay TPUs)
+    def upload(k):
+        cam_xs[k] = k * step
+        l = jax.device_put(render(world, cam_xs[k]).astype(np.float32))
+        r = jax.device_put(
+            render(world, cam_xs[k], 0.537).astype(np.float32)
+        )
+        return l, r
+
+    pair = upload(0)
+    for k in range(args.frames):
+        next_pair = upload(k + 1) if k + 1 < args.frames else None
+        t0 = time.perf_counter()
+        system.track_stereo(pair[0], pair[1], k * 0.1)
+        times.append(time.perf_counter() - t0)
+        pair = next_pair
+
+    steady = np.asarray(times[args.warmup :])
+    fps = 1.0 / np.median(steady)
+    print(
+        f"state={system.state.name} kfs={len(system.map.keyframes)} "
+        f"pts={len(system.map.points)} objs={len(system.map.objects)}"
+    )
+    print(
+        f"median frame {np.median(steady) * 1e3:.1f} ms, mean "
+        f"{steady.mean() * 1e3:.1f} ms -> {fps:.1f} fps (target >= 10)"
+    )
+    print(json.dumps({
+        "metric": "slam_fps_end_to_end", "value": round(float(fps), 2),
+        "unit": "fps", "vs_baseline": round(float(fps) / 10.0, 3),
+    }))
+    return fps
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Fused per-frame tracking device program.
+
+One jitted program runs the ENTIRE per-frame device pipeline — stereo
+ORB extraction, row-matched depth, motion-stage projection matching +
+pose GN against the last frame's points, then local-map matching + pose
+GN — so tracking costs ONE dispatch + ONE result fetch per frame. The
+modular path (frontend.* + pose_opt called stage-by-stage) computes the
+same thing with ~12 host<->device round trips; on relay-attached TPUs
+each round trip costs ~100+ ms, and even on directly-attached hosts the
+fused program lets XLA overlap stages.
+
+Matching conflict resolution (several map points matched to one
+keypoint) is a scatter-min on descriptor distance, replacing the host
+dict loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..frontend import matcher, orb, stereo
+from . import pose_opt
+
+BIG = jnp.int32(1 << 20)
+
+
+def _resolve_and_pack(idx, dist, feats, u_right, cand_pos, cand_valid, cap):
+    """Device-side conflict resolution + observation packing.
+
+    idx: (N,) candidate->keypoint matches (-1 none). Returns arrays for
+    optimize_pose plus the winning candidate mask (N,).
+    """
+    n_kp = feats["xy"].shape[0]
+    matched = idx >= 0
+    safe_kp = jnp.maximum(idx, 0)
+    # best (min-distance) candidate per keypoint
+    best = jnp.full((n_kp,), BIG).at[safe_kp].min(
+        jnp.where(matched, dist, BIG)
+    )
+    win = matched & (dist <= best[safe_kp])
+    # dedupe exact ties: keep lowest candidate index per keypoint
+    first = jnp.full((n_kp,), BIG).at[safe_kp].min(
+        jnp.where(win, jnp.arange(idx.shape[0], dtype=jnp.int32), BIG)
+    )
+    win = win & (jnp.arange(idx.shape[0], dtype=jnp.int32) == first[safe_kp])
+
+    pts_w = cand_pos
+    xy = feats["xy"][safe_kp]
+    ur = u_right[safe_kp]
+    obs = jnp.concatenate(
+        [xy, jnp.where(ur > 0, ur, 0.0)[:, None]], axis=-1
+    )
+    smask = (ur > 0).astype(jnp.float32) * win
+    inv_s2 = 1.0 / feats["sigma2"][safe_kp]
+    vmask = win.astype(jnp.float32) * cand_valid
+    return pts_w, obs, inv_s2, vmask, smask, win
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def track_frame_stereo(
+    orb_params: orb.ORBParams,
+    radii: tuple,                 # (motion_radius, local_radius) static
+    img_l: jnp.ndarray,
+    img_r: jnp.ndarray,
+    bf: jnp.ndarray,
+    max_disparity: jnp.ndarray,
+    intrinsics: jnp.ndarray,      # (5,)
+    T_pred: jnp.ndarray,          # (4, 4) motion-model prediction
+    last_pos: jnp.ndarray,        # (C, 3) last-frame map points
+    last_desc: jnp.ndarray,       # (C, 8)
+    last_level: jnp.ndarray,      # (C,)
+    last_valid: jnp.ndarray,      # (C,)
+    local_pos: jnp.ndarray,       # (C, 3) local-map points
+    local_desc: jnp.ndarray,
+    local_level: jnp.ndarray,
+    local_valid: jnp.ndarray,
+):
+    """Returns (feats_l, stereo_out, result dict) — one device program."""
+    feats_l = orb.extract(img_l, orb_params)
+    feats_r = orb.extract(img_r, orb_params)
+    st = stereo.stereo_match(feats_l, feats_r, img_l, img_r, bf, max_disparity)
+    u_right = st["u_right"]
+
+    fx, fy, cx, cy = [intrinsics[i] for i in range(4)]
+    width = 2.0 * cx
+    height = 2.0 * cy
+
+    def project(T, pos, valid):
+        pc = pos @ T[:3, :3].T + T[:3, 3]
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        u = fx * pc[:, 0] / z + cx
+        v = fy * pc[:, 1] / z + cy
+        ok = (
+            (pc[:, 2] > 0.1) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+        )
+        return jnp.stack([u, v], -1), valid * ok
+
+    def stage(T_init, pos, desc, level, valid, radius):
+        proj, v = project(T_init, pos, valid)
+        idx, dist = matcher.match_by_projection(
+            proj, v, desc, level, feats_l, radius=radius
+        )
+        pts_w, obs, inv_s2, vmask, smask, win = _resolve_and_pack(
+            idx, dist, feats_l, u_right, pos, v, pos.shape[0]
+        )
+        T, inlier, n_in = pose_opt.optimize_pose(
+            T_init, pts_w, obs, inv_s2, vmask, smask, intrinsics
+        )
+        return T, idx, inlier * vmask, n_in
+
+    T1, idx1, inl1, n1 = stage(
+        T_pred, last_pos, last_desc, last_level, last_valid, radii[0]
+    )
+    T2, idx2, inl2, n2 = stage(
+        T1, local_pos, local_desc, local_level, local_valid, radii[1]
+    )
+    return feats_l, st, {
+        "T_motion": T1, "n_motion": n1,
+        "T_cw": T2, "match_idx": idx2, "inlier": inl2, "n_inliers": n2,
+    }

@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 from enum import Enum
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -99,13 +100,117 @@ class Tracker:
     # ------------------------------------------------------------------
     def process_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
                        timestamp: float) -> Frame:
+        """Per-frame stereo tracking. In the steady state the whole device
+        pipeline runs as ONE fused program (slam.frame_step) — a single
+        dispatch + a single fetch per frame; initialization, loss and
+        fallback paths use the modular stage-by-stage code below."""
+        if (
+            self.state == State.OK
+            and self.velocity is not None
+            and self.ref_kf is not None
+            and self.last_frame is not None
+        ):
+            return self._process_stereo_fused(img_l, img_r, timestamp)
+        return self._process_stereo_modular(img_l, img_r, timestamp)
+
+    def _process_stereo_fused(self, img_l, img_r, timestamp: float) -> Frame:
+        from . import frame_step
+
+        jl = (
+            img_l if isinstance(img_l, jnp.ndarray)
+            else jnp.asarray(img_l, jnp.float32)
+        )
+        jr = (
+            img_r if isinstance(img_r, jnp.ndarray)
+            else jnp.asarray(img_r, jnp.float32)
+        )
+        last_ids_raw = self.last_frame.map_point_ids
+        last_entries = self._entries_from_ids(last_ids_raw[last_ids_raw >= 0])
+        kf_ids = self.map.local_keyframes(self.ref_kf, 20)
+        local_entries = self._entries_from_ids(self.map.points_seen_by(kf_ids))
+        lid, lpos, ldesc, llvl, lval = _pack_map_points(
+            last_entries, LOCAL_POINT_CAP
+        )
+        cid, cpos, cdesc, clvl, cval = _pack_map_points(
+            local_entries, LOCAL_POINT_CAP
+        )
+        T_pred = (self.velocity @ self.last_frame.T_cw).astype(np.float32)
+
+        feats_j, st_j, result_j = frame_step.track_frame_stereo(
+            self.orb_params,
+            (float(self.cfg.search_radius_motion), float(self.cfg.search_radius_local)),
+            jl, jr, jnp.float32(self.cfg.bf), jnp.float32(self.cfg.bf / 0.5),
+            self.cfg.intrinsics, jnp.asarray(T_pred),
+            jnp.asarray(lpos), jnp.asarray(ldesc), jnp.asarray(llvl),
+            jnp.asarray(lval),
+            jnp.asarray(cpos), jnp.asarray(cdesc), jnp.asarray(clvl),
+            jnp.asarray(cval),
+        )
+        # ONE round trip for everything the host needs this frame
+        feats, st, result = jax.device_get((feats_j, st_j, result_j))
+
+        frame = Frame(timestamp, feats, depth=st["depth"], u_right=st["u_right"])
+        n_in = int(result["n_inliers"])
+        ok = int(result["n_motion"]) >= self.cfg.min_inliers and n_in >= max(
+            self.cfg.min_inliers, 30
+        )
+        if ok and np.isfinite(result["T_cw"]).all():
+            frame.T_cw = np.asarray(result["T_cw"], np.float32)
+            idx = result["match_idx"]
+            inlier = result["inlier"]
+            frame.map_point_ids[:] = -1
+            for c in np.nonzero(inlier > 0)[0]:
+                kp = int(idx[c])
+                if kp >= 0 and cid[c] >= 0:
+                    frame.map_point_ids[kp] = cid[c]
+            self.n_inliers = n_in
+            self.state = State.OK
+            self.velocity = frame.T_cw @ self.last_frame.T_wc
+            self._update_last_frame_points(frame)
+            if self._need_new_keyframe(frame):
+                self._create_keyframe(frame)
+            self.frames_since_kf += 1
+        else:
+            # fall back to the modular path (reference-KF search etc.)
+            mod_ok = self._track_reference_keyframe(frame)
+            if mod_ok:
+                mod_ok = self._track_local_map(frame)
+            if mod_ok:
+                self.state = State.OK
+                self.velocity = frame.T_cw @ self.last_frame.T_wc
+                self._update_last_frame_points(frame)
+                if self._need_new_keyframe(frame):
+                    self._create_keyframe(frame)
+                self.frames_since_kf += 1
+            else:
+                self.state = State.LOST
+                if len(self.map.keyframes) <= 5 and self.relocalizer is None:
+                    self.reset()
+        self.trajectory.append(
+            (frame.timestamp, frame.T_cw.copy(), self.state != State.OK)
+        )
+        self.last_frame = frame
+        return frame
+
+    def _process_stereo_modular(self, img_l, img_r, timestamp: float) -> Frame:
+        # upload each image exactly once (host->device transfers dominate
+        # on relay-attached TPUs); callers may pass pre-uploaded jax
+        # arrays (e.g. a prefetching loader) to overlap transfer with
+        # the previous frame's compute
+        jl = (
+            img_l if isinstance(img_l, jnp.ndarray)
+            else jnp.asarray(img_l, jnp.float32)
+        )
+        jr = (
+            img_r if isinstance(img_r, jnp.ndarray)
+            else jnp.asarray(img_r, jnp.float32)
+        )
         # two serial extracts beat a vmapped pair on v5e (batched gathers
         # in selection/descriptor stages dominate): 2 x 16 ms vs 38 ms
-        feats_l = orb.extract(jnp.asarray(img_l, jnp.float32), self.orb_params)
-        feats_r = orb.extract(jnp.asarray(img_r, jnp.float32), self.orb_params)
+        feats_l = orb.extract(jl, self.orb_params)
+        feats_r = orb.extract(jr, self.orb_params)
         st = stereo.stereo_match(
-            feats_l, feats_r, jnp.asarray(img_l, jnp.float32),
-            jnp.asarray(img_r, jnp.float32), jnp.float32(self.cfg.bf),
+            feats_l, feats_r, jl, jr, jnp.float32(self.cfg.bf),
             jnp.float32(self.cfg.bf / 0.5),  # max disparity ~ minZ 0.5m
         )
         feats = {k: np.asarray(v) for k, v in feats_l.items()}
@@ -268,7 +373,9 @@ class Tracker:
         if n_valid < self.cfg.min_init_features:
             return
         frame.T_cw = np.eye(4, dtype=np.float32)
-        kf = self._spawn_keyframe_with_points(frame, min_points=0)
+        # stereo initialization creates a point for EVERY valid-depth
+        # keypoint (Tracking::StereoInitialization), not just close ones
+        kf = self._spawn_keyframe_with_points(frame, min_points=None)
         if kf is None:
             return
         self.ref_kf = kf
@@ -428,7 +535,11 @@ class Tracker:
             T_wc = frame.T_wc
             for kp_idx in order:
                 z = float(depth[kp_idx])
-                if z > self.cfg.depth_threshold and created >= min_points:
+                if (
+                    min_points is not None
+                    and z > self.cfg.depth_threshold
+                    and created >= min_points
+                ):
                     break
                 u, v = frame.feats["xy"][kp_idx]
                 xc = np.array(
