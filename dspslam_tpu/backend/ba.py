@@ -35,6 +35,14 @@ import jax.numpy as jnp
 
 from ..ops import lie
 
+def _es(*args, **kw):
+    """einsum pinned to full f32: the normal-equation assembly and Schur
+    complement are precision-critical — TPU default matmul precision
+    (bf16 passes) corrupts ill-conditioned windows (observed as 0.5-1 m
+    pose jumps after the first local BA on v5e)."""
+    return jnp.einsum(*args, precision=jax.lax.Precision.HIGHEST, **kw)
+
+
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
 OBJ_INFO = 1e3                      # invSigmaObject (Optimizer_util.cc:80)
@@ -49,7 +57,7 @@ def _point_residuals(T_cw_all, pts, obs_kf, obs_pt, obs_uvr, obs_stereo,
     fx, fy, cx, cy, bf = [intrinsics[i] for i in range(5)]
     T = T_cw_all[obs_kf]                                    # (O, 4, 4)
     X = pts[obs_pt]                                         # (O, 3)
-    pc = jnp.einsum("oij,oj->oi", T[:, :3, :3], X) + T[:, :3, 3]
+    pc = _es("oij,oj->oi", T[:, :3, :3], X) + T[:, :3, 3]
     x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
     zs = jnp.maximum(z, 1e-6)
     inv_z = 1.0 / zs
@@ -138,6 +146,7 @@ def bundle_adjust(
 
     chi2_th = jnp.where(obs_stereo > 0, CHI2_STEREO, CHI2_MONO)
 
+
     def gn_step(carry):
         kf_T, pts, inlier, obj_T, edge_inlier = carry
         res, J_c, J_p = _point_residuals(
@@ -154,19 +163,19 @@ def bundle_adjust(
         JpW = J_p * w[:, None, None]
         # block assembly by scatter-add
         Hcc = jnp.zeros((K, 6, 6)).at[obs_kf].add(
-            jnp.einsum("oij,oik->ojk", JcW, J_c)
+            _es("oij,oik->ojk", JcW, J_c)
         )
         bc = jnp.zeros((K, 6)).at[obs_kf].add(
-            -jnp.einsum("oij,oi->oj", JcW, res)
+            -_es("oij,oi->oj", JcW, res)
         )
         Hpp = jnp.zeros((P, 3, 3)).at[obs_pt].add(
-            jnp.einsum("oij,oik->ojk", JpW, J_p)
+            _es("oij,oik->ojk", JpW, J_p)
         )
         bp = jnp.zeros((P, 3)).at[obs_pt].add(
-            -jnp.einsum("oij,oi->oj", JpW, res)
+            -_es("oij,oi->oj", JpW, res)
         )
         W = jnp.zeros((K, P, 6, 3)).at[obs_kf, obs_pt].add(
-            jnp.einsum("oij,oik->ojk", JcW, J_p)
+            _es("oij,oik->ojk", JcW, J_p)
         )
 
         Hpp = Hpp + damping * jnp.eye(3)
@@ -175,8 +184,8 @@ def bundle_adjust(
         # reduced camera system
         S = jnp.zeros((K, K, 6, 6))
         S = S.at[jnp.arange(K), jnp.arange(K)].set(Hcc + damping * jnp.eye(6))
-        S = S - jnp.einsum("kpab,pbc,lpdc->klad", W, Hpp_inv, W)
-        rhs = bc - jnp.einsum("kpab,pbc,pc->ka", W, Hpp_inv, bp)
+        S = S - _es("kpab,pbc,lpdc->klad", W, Hpp_inv, W)
+        rhs = bc - _es("kpab,pbc,pc->ka", W, Hpp_inv, bp)
 
         D = 6 * (K + M) if has_obj else 6 * K
         H_full = jnp.zeros((D, D))
@@ -203,12 +212,12 @@ def bundle_adjust(
             H_full = H_full.at[: 6 * K, : 6 * K].add(
                 jnp.zeros((K, K, 6, 6))
                 .at[edge_kf, edge_kf]
-                .add(jnp.einsum("qij,qik->qjk", JcW_o, Jc_o))
+                .add(_es("qij,qik->qjk", JcW_o, Jc_o))
                 .transpose(0, 2, 1, 3)
                 .reshape(6 * K, 6 * K)
             )
             H_oo = jnp.zeros((M, M, 6, 6)).at[edge_obj, edge_obj].add(
-                jnp.einsum("qij,qik->qjk", JoW_o, Jo_o)
+                _es("qij,qik->qjk", JoW_o, Jo_o)
             )
             H_oo = H_oo.at[jnp.arange(M), jnp.arange(M)].add(
                 damping * jnp.eye(6)
@@ -217,7 +226,7 @@ def bundle_adjust(
                 H_oo.transpose(0, 2, 1, 3).reshape(6 * M, 6 * M)
             )
             H_co = jnp.zeros((K, M, 6, 6)).at[edge_kf, edge_obj].add(
-                jnp.einsum("qij,qik->qjk", JcW_o, Jo_o)
+                _es("qij,qik->qjk", JcW_o, Jo_o)
             )
             H_full = H_full.at[: 6 * K, 6 * K :].add(
                 H_co.transpose(0, 2, 1, 3).reshape(6 * K, 6 * M)
@@ -228,13 +237,13 @@ def bundle_adjust(
             rhs_full = rhs_full.at[: 6 * K].add(
                 jnp.zeros((K, 6))
                 .at[edge_kf]
-                .add(-jnp.einsum("qij,qi->qj", JcW_o, r_o))
+                .add(-_es("qij,qi->qj", JcW_o, r_o))
                 .reshape(-1)
             )
             rhs_full = rhs_full.at[6 * K :].add(
                 jnp.zeros((M, 6))
                 .at[edge_obj]
-                .add(-jnp.einsum("qij,qi->qj", JoW_o, r_o))
+                .add(-_es("qij,qi->qj", JoW_o, r_o))
                 .reshape(-1)
             )
 
@@ -263,10 +272,10 @@ def bundle_adjust(
             obj_T_new = obj_T
 
         # back-substitute landmark updates
-        dx_p = jnp.einsum(
+        dx_p = _es(
             "pab,pb->pa",
             Hpp_inv,
-            bp - jnp.einsum("kpab,ka->pb", W, dx_c),
+            bp - _es("kpab,ka->pb", W, dx_c),
         )
         dx_p = jnp.clip(jnp.where(jnp.isfinite(dx_p), dx_p, 0.0), -0.5, 0.5)
         pts_new = pts + dx_p * pt_valid[:, None]

@@ -25,6 +25,11 @@ import jax.numpy as jnp
 from ..ops import lie
 
 
+def _es(*args, **kw):
+    # full-f32 einsum: GN normal equations are precision-critical on TPU
+    return jnp.einsum(*args, precision=jax.lax.Precision.HIGHEST, **kw)
+
+
 def _edge_residual(S_iw, S_jw, S_ij_meas):
     """(7,) residual of one relative-pose edge."""
     return lie.log_sim3(S_ij_meas @ S_jw @ lie.inverse_sim3(S_iw))
@@ -68,13 +73,13 @@ def optimize_pose_graph(
         JiW = Ji * w[:, None, None]
         JjW = Jj * w[:, None, None]
         H = jnp.zeros((K, K, 7, 7))
-        H = H.at[edge_i, edge_i].add(jnp.einsum("eab,eac->ebc", JiW, Ji))
-        H = H.at[edge_j, edge_j].add(jnp.einsum("eab,eac->ebc", JjW, Jj))
-        H = H.at[edge_i, edge_j].add(jnp.einsum("eab,eac->ebc", JiW, Jj))
-        H = H.at[edge_j, edge_i].add(jnp.einsum("eab,eac->ebc", JjW, Ji))
+        H = H.at[edge_i, edge_i].add(_es("eab,eac->ebc", JiW, Ji))
+        H = H.at[edge_j, edge_j].add(_es("eab,eac->ebc", JjW, Jj))
+        H = H.at[edge_i, edge_j].add(_es("eab,eac->ebc", JiW, Jj))
+        H = H.at[edge_j, edge_i].add(_es("eab,eac->ebc", JjW, Ji))
         b = jnp.zeros((K, 7))
-        b = b.at[edge_i].add(-jnp.einsum("eab,ea->eb", JiW, r))
-        b = b.at[edge_j].add(-jnp.einsum("eab,ea->eb", JjW, r))
+        b = b.at[edge_i].add(-_es("eab,ea->eb", JiW, r))
+        b = b.at[edge_j].add(-_es("eab,ea->eb", JjW, r))
 
         Hd = H.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
         free = jnp.repeat(1.0 - fixed, 7)

@@ -22,6 +22,11 @@ import jax.numpy as jnp
 
 from ..ops import lie
 
+def _es(*args, **kw):
+    # full-f32 einsum: GN normal equations are precision-critical on TPU
+    return jnp.einsum(*args, precision=jax.lax.Precision.HIGHEST, **kw)
+
+
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
 
@@ -103,8 +108,8 @@ def optimize_pose(
             )
             w = w * hub
             Jw = J * w[:, None, None]
-            H = jnp.einsum("nij,nik->jk", Jw, J) + damping * jnp.eye(6)
-            b = -jnp.einsum("nij,ni->j", Jw, res)
+            H = _es("nij,nik->jk", Jw, J) + damping * jnp.eye(6)
+            b = -_es("nij,ni->j", Jw, res)
             dx = jnp.linalg.solve(H, b)
             return lie.exp_se3(dx) @ T
 
