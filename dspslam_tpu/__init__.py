@@ -27,3 +27,13 @@ Design stance (vs. the reference's C++17 + embedded CPython + CUDA stack):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry is precision-critical: TPU default matmul precision executes
+# f32 contractions as bf16 passes, which injects ~0.4% relative error —
+# centimeters at SLAM scene scale — into point transforms, projections
+# and normal equations, and tracking drift then compounds exponentially
+# through the velocity model (observed on v5e). Full-f32 everywhere; the
+# DeepSDF decoder opts back down per-call where profiling justifies it.
+_jax.config.update("jax_default_matmul_precision", "highest")

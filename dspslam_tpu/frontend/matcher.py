@@ -133,7 +133,7 @@ def match_in_windows(
     return idx, d
 
 
-@partial(jax.jit, static_argnames=("radius", "max_dist", "ratio"))
+@partial(jax.jit, static_argnames=("radius", "max_dist", "ratio", "level_slack"))
 def match_by_projection(
     proj_xy: jnp.ndarray,      # (N, 2) projected map-point pixels
     proj_valid: jnp.ndarray,   # (N,)
@@ -143,13 +143,21 @@ def match_by_projection(
     radius: float,
     max_dist: int = TH_HIGH,
     ratio: float | None = 0.9,
+    level_slack: int | None = None,
 ):
     """Map-point -> frame projection search (ORBmatcher.cc:45-157):
     each projected point matches the closest descriptor among frame
-    keypoints inside its radius at a compatible pyramid level."""
+    keypoints inside its radius; optionally gated to keypoints within
+    `level_slack` octaves of the predicted level. The gate is OFF by
+    default: per-corner detection octaves jitter frame-to-frame and the
+    descriptor + mutual + chi2 filters already reject cross-scale
+    mismatches (gating measurably starved tracking on synthetic scenes).
+    """
     dist = hamming_matrix(proj_desc, feats["desc"])
     cand = window_mask(
         proj_xy, feats["xy"], radius, proj_valid, feats["valid"],
-        proj_level, feats["level"],
+        proj_level if level_slack is not None else None,
+        feats["level"] if level_slack is not None else None,
+        level_slack=level_slack or 1,
     )
     return masked_match(dist, cand, max_dist, ratio, mutual=False)

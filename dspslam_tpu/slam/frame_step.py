@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..frontend import matcher, orb, stereo
 from . import pose_opt
@@ -71,11 +72,13 @@ def track_frame_stereo(
     T_pred: jnp.ndarray,          # (4, 4) motion-model prediction
     last_pos: jnp.ndarray,        # (C, 3) last-frame map points
     last_desc: jnp.ndarray,       # (C, 8)
-    last_level: jnp.ndarray,      # (C,)
+    last_level: jnp.ndarray,      # (C,) creation octave
+    last_dist: jnp.ndarray,       # (C,) creation viewing distance
     last_valid: jnp.ndarray,      # (C,)
     local_pos: jnp.ndarray,       # (C, 3) local-map points
     local_desc: jnp.ndarray,
     local_level: jnp.ndarray,
+    local_dist: jnp.ndarray,
     local_valid: jnp.ndarray,
 ):
     """Returns (feats_l, stereo_out, result dict) — one device program."""
@@ -98,8 +101,20 @@ def track_frame_stereo(
         )
         return jnp.stack([u, v], -1), valid * ok
 
-    def stage(T_init, pos, desc, level, valid, radius):
+    log_sf = float(np.log(orb_params.scale_factor))
+    n_levels = orb_params.n_levels
+
+    def stage(T_init, pos, desc, level0, dist0, valid, radius):
         proj, v = project(T_init, pos, valid)
+        # octave prediction from viewing distance (MapPoint::PredictScale)
+        cam_center = -T_init[:3, :3].T @ T_init[:3, 3]
+        d_now = jnp.linalg.norm(pos - cam_center, axis=-1)
+        shift = jnp.log(
+            jnp.maximum(dist0, 1e-3) / jnp.maximum(d_now, 1e-3)
+        ) / log_sf
+        level = jnp.clip(
+            jnp.round(level0 + shift), 0, n_levels - 1
+        ).astype(jnp.int32)
         idx, dist = matcher.match_by_projection(
             proj, v, desc, level, feats_l, radius=radius
         )
@@ -112,10 +127,12 @@ def track_frame_stereo(
         return T, idx, inlier * vmask, n_in
 
     T1, idx1, inl1, n1 = stage(
-        T_pred, last_pos, last_desc, last_level, last_valid, radii[0]
+        T_pred, last_pos, last_desc, last_level, last_dist, last_valid,
+        radii[0],
     )
     T2, idx2, inl2, n2 = stage(
-        T1, local_pos, local_desc, local_level, local_valid, radii[1]
+        T1, local_pos, local_desc, local_level, local_dist, local_valid,
+        radii[1],
     )
     return feats_l, st, {
         "T_motion": T1, "n_motion": n1,

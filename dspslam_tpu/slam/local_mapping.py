@@ -142,6 +142,7 @@ class LocalMapper:
                 p = MapPoint(
                     X.astype(np.float32), kf.feats["desc"][i], kf.id,
                     int(kf.feats["level"][i]),
+                    float(np.linalg.norm(X - kf.camera_center())),
                 )
                 self.map.add_point(p)
                 self.map.add_observation(p, kf, int(i))

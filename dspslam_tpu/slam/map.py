@@ -59,12 +59,18 @@ class MapPoint:
     _ids = itertools.count()
 
     def __init__(self, position: np.ndarray, descriptor: np.ndarray,
-                 ref_kf_id: int, level: int = 0):
+                 ref_kf_id: int, level: int = 0, dist_create: float = 1.0):
         self.id = next(MapPoint._ids)
         self.position = np.asarray(position, np.float32)
         self.descriptor = np.asarray(descriptor)
         self.ref_kf_id = ref_kf_id
         self.level = int(level)      # pyramid level of the creating keypoint
+        # viewing distance at creation: matching predicts the expected
+        # octave from the CURRENT distance (ORB scale invariance only
+        # spans ~1 level, so the gate must track distance — matching
+        # against the creation level alone starves the matcher as the
+        # camera approaches/recedes)
+        self.dist_create = float(max(dist_create, 1e-3))
         self.observations: dict[int, int] = {}   # kf_id -> keypoint index
         self.normal = np.zeros(3, np.float32)
         self.min_distance = 0.0

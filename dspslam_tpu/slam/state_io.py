@@ -125,6 +125,8 @@ def load_state(path: str) -> Map:
         p.position = z["pt_pos"][i]
         p.descriptor = z["pt_desc"][i]
         p.ref_kf_id = int(z["pt_ref"][i])
+        p.level = 0
+        p.dist_create = 1.0
         p.observations = {}
         p.normal = np.zeros(3, np.float32)
         p.min_distance, p.max_distance = 0.0, np.inf

@@ -66,18 +66,30 @@ class TrackerConfig:
 
 
 def _pack_map_points(entries, cap):
-    """entries: list of (id, pos(3,), desc(8,), level) -> padded arrays."""
+    """entries: (id, pos, desc, level, dist_create) -> padded arrays."""
     ids = np.full(cap, -1, np.int64)
     pos = np.zeros((cap, 3), np.float32)
     desc = np.zeros((cap, 8), np.uint32)
     level = np.zeros(cap, np.int32)
+    dist0 = np.ones(cap, np.float32)
     n = min(len(entries), cap)
     for i in range(n):
-        ids[i], pos[i], desc[i], level[i] = (
-            entries[i][0], entries[i][1], entries[i][2], entries[i][3],
-        )
+        ids[i], pos[i], desc[i], level[i], dist0[i] = entries[i]
     valid = (ids >= 0).astype(np.float32)
-    return ids, pos, desc, level, valid
+    return ids, pos, desc, level, dist0, valid
+
+
+def predicted_levels(level_create, dist_create, pos, T_cw, scale_factor,
+                     n_levels):
+    """Expected octave at the current viewing distance (the reference's
+    MapPoint::PredictScale rule): one level per scale_factor of approach."""
+    cam_center = -T_cw[:3, :3].T @ T_cw[:3, 3]
+    dist = np.linalg.norm(pos - cam_center, axis=-1)
+    shift = np.log(np.maximum(dist_create, 1e-3) / np.maximum(dist, 1e-3)) \
+        / np.log(scale_factor)
+    return np.clip(
+        np.round(level_create + shift), 0, n_levels - 1
+    ).astype(np.int32)
 
 
 class Tracker:
@@ -128,10 +140,10 @@ class Tracker:
         last_entries = self._entries_from_ids(last_ids_raw[last_ids_raw >= 0])
         kf_ids = self.map.local_keyframes(self.ref_kf, 20)
         local_entries = self._entries_from_ids(self.map.points_seen_by(kf_ids))
-        lid, lpos, ldesc, llvl, lval = _pack_map_points(
+        lid, lpos, ldesc, llvl, ldist, lval = _pack_map_points(
             last_entries, LOCAL_POINT_CAP
         )
-        cid, cpos, cdesc, clvl, cval = _pack_map_points(
+        cid, cpos, cdesc, clvl, cdist, cval = _pack_map_points(
             local_entries, LOCAL_POINT_CAP
         )
         T_pred = (self.velocity @ self.last_frame.T_cw).astype(np.float32)
@@ -142,9 +154,9 @@ class Tracker:
             jl, jr, jnp.float32(self.cfg.bf), jnp.float32(self.cfg.bf / 0.5),
             self.cfg.intrinsics, jnp.asarray(T_pred),
             jnp.asarray(lpos), jnp.asarray(ldesc), jnp.asarray(llvl),
-            jnp.asarray(lval),
+            jnp.asarray(ldist), jnp.asarray(lval),
             jnp.asarray(cpos), jnp.asarray(cdesc), jnp.asarray(clvl),
-            jnp.asarray(cval),
+            jnp.asarray(cdist), jnp.asarray(cval),
         )
         # ONE round trip for everything the host needs this frame
         feats, st, result = jax.device_get((feats_j, st_j, result_j))
@@ -350,8 +362,11 @@ class Tracker:
         for j in np.nonzero(good)[0]:
             kp_ref = int(m[j])
             kp_cur = int(idx[m[j]])
-            p = MapPoint(out["points3d"][j], ref.feats["desc"][kp_ref], kf1.id,
-                         int(ref.feats["level"][kp_ref]))
+            p = MapPoint(
+                out["points3d"][j], ref.feats["desc"][kp_ref], kf1.id,
+                int(ref.feats["level"][kp_ref]),
+                float(np.linalg.norm(out["points3d"][j])),
+            )
             self.map.add_point(p)
             self.map.add_observation(p, kf1, kp_ref)
             self.map.add_observation(p, kf2, kp_cur)
@@ -397,14 +412,20 @@ class Tracker:
 
     def _match_and_optimize(self, frame: Frame, entries, radius) -> int:
         """Project candidate map points, match, run pose GN. Returns #inliers."""
-        ids, pos, desc, level, valid = _pack_map_points(entries, LOCAL_POINT_CAP)
+        ids, pos, desc, level, dist0, valid = _pack_map_points(
+            entries, LOCAL_POINT_CAP
+        )
         proj_xy, in_img = self._project_points(frame.T_cw, pos)
         valid = valid * in_img
         if valid.sum() < self.cfg.min_track_matches:
             return 0
+        level_pred = predicted_levels(
+            level, dist0, pos, frame.T_cw, self.orb_params.scale_factor,
+            self.orb_params.n_levels,
+        )
         idx, dist = matcher.match_by_projection(
             jnp.asarray(proj_xy), jnp.asarray(valid), jnp.asarray(desc),
-            jnp.asarray(level),
+            jnp.asarray(level_pred),
             {k: jnp.asarray(v) for k, v in frame.feats.items()},
             radius=radius,
         )
@@ -484,7 +505,9 @@ class Tracker:
             p = self.map.points.get(int(p_id))
             if p is None or p.bad:
                 continue
-            entries.append((p.id, p.position, p.descriptor, p.level))
+            entries.append(
+                (p.id, p.position, p.descriptor, p.level, p.dist_create)
+            )
         return entries
 
     # ------------------------------------------------------------------
@@ -548,7 +571,7 @@ class Tracker:
                 )
                 xw = (T_wc @ xc)[:3]
                 p = MapPoint(xw, frame.feats["desc"][kp_idx], kf.id,
-                             int(frame.feats["level"][kp_idx]))
+                             int(frame.feats["level"][kp_idx]), z)
                 self.map.add_point(p)
                 self.map.add_observation(p, kf, int(kp_idx))
                 frame.map_point_ids[kp_idx] = p.id
