@@ -50,6 +50,7 @@ class ObjectPipeline:
         self.cfg = gn_config
         self.caps = (max_detections, max_surface_points, max_rays)
         self.batched_recon = gn.batched_reconstruct(decoder_fn, gn_config)
+        self.batched_pose = gn.batched_estimate_pose(decoder_fn, gn_config)
         self.extract_meshes = extract_meshes
         self.mesher = mesh_mod.MeshExtractor(
             decoder_fn, decoder_params, gn_config.code_len, voxels_dim
@@ -85,37 +86,49 @@ class ObjectPipeline:
 
     # ------------------------------------------------------------------
     def _measure_associated(self, kf, assoc):
-        """Pose-only GN per associated detection -> SE3 T_co measurement."""
-        T_wc = np.linalg.inv(kf.T_cw)
-        for det_idx, obj in assoc.items():
+        """Pose-only GN for ALL associated detections in one batched
+        device program -> SE3 T_co measurements."""
+        entries = [
+            (det_idx, obj)
+            for det_idx, obj in assoc.items()
+            if kf.detections[det_idx].num_surface_points
+            >= association.MIN_PTS_ASSOCIATED
+        ]
+        if not entries:
+            return
+        B = self.caps[0]
+        P = self.caps[1]
+        entries = entries[:B]
+        t_init = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        scales = np.ones(B, np.float32)
+        pts = np.zeros((B, P, 3), np.float32)
+        mask = np.zeros((B, P), np.float32)
+        codes = np.zeros((B, self.cfg.code_len), np.float32)
+        for i, (det_idx, obj) in enumerate(entries):
             det: Detection = kf.detections[det_idx]
-            if det.num_surface_points < association.MIN_PTS_ASSOCIATED:
-                continue
-            P = self.caps[1]
-            pts = np.zeros((P, 3), np.float32)
-            mask = np.zeros(P, np.float32)
             n = min(det.num_surface_points, P)
-            pts[:n] = det.surface_points[:n]
-            mask[:n] = 1.0
-            # initialize from the object's map pose seen from this camera
-            T_co_init = kf.T_cw @ obj.T_wo_se3
-            out = gn.estimate_pose_cam_obj(
-                self.decoder_fn, self.cfg, self.decoder_params,
-                jnp.asarray(T_co_init.astype(np.float32)),
-                jnp.float32(obj.scale),
-                jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(obj.code),
-            )
-            T_co = np.asarray(out["t_cam_obj"])
+            pts[i, :n] = det.surface_points[:n]
+            mask[i, :n] = 1.0
+            t_init[i] = (kf.T_cw @ obj.T_wo_se3).astype(np.float32)
+            scales[i] = obj.scale
+            codes[i] = obj.code[: self.cfg.code_len]
+        out = self.batched_pose(
+            self.decoder_params, jnp.asarray(t_init), jnp.asarray(scales),
+            jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(codes),
+        )
+        t_all = np.asarray(out["t_cam_obj"])
+        T_wc = np.linalg.inv(kf.T_cw)
+        for i, (det_idx, obj) in enumerate(entries):
+            T_co = t_all[i]
             if not np.all(np.isfinite(T_co)):
                 continue
-            det.T_co_se3_measured = T_co
+            kf.detections[det_idx].T_co_se3_measured = T_co
             moved = association.classify_motion(
                 obj, T_co, kf.T_cw, frame_gap=1.0
             )
             if not moved:
                 # refine the map object's SE3 pose from this measurement
-                T_wo_se3 = T_wc @ T_co
-                obj.set_pose_se3(T_wo_se3.astype(np.float32))
+                obj.set_pose_se3((T_wc @ T_co).astype(np.float32))
             obj.n_observed += 1
 
     # ------------------------------------------------------------------

@@ -243,6 +243,19 @@ def estimate_pose_cam_obj(
     return {"t_cam_obj": t_cam_obj_out, "loss": loss}
 
 
+def batched_estimate_pose(decoder_fn, config: GNConfig):
+    """vmapped pose-only SE(3) ICP: all of a keyframe's associated
+    detections refine in one device program (the reference loops objects
+    sequentially through CUDA; on relay-attached TPUs each separate call
+    also pays a host round trip).
+
+    Returns fn(decoder_params, t_cam_obj (B,4,4), scale (B,), pts (B,P,3),
+    pts_mask (B,P), code (B,L)) -> dict of batched results.
+    """
+    single = partial(estimate_pose_cam_obj, decoder_fn, config)
+    return jax.jit(jax.vmap(single, in_axes=(None, 0, 0, 0, 0, 0)))
+
+
 def batched_reconstruct(decoder_fn, config: GNConfig):
     """vmapped + jitted multi-object reconstruction: all detections of a
     keyframe run as one device program (decoder matmuls batch on the MXU).
