@@ -138,14 +138,21 @@ class Tracker:
         )
         last_ids_raw = self.last_frame.map_point_ids
         last_entries = self._entries_from_ids(last_ids_raw[last_ids_raw >= 0])
-        kf_ids = self.map.local_keyframes(self.ref_kf, 20)
-        local_entries = self._entries_from_ids(self.map.points_seen_by(kf_ids))
         lid, lpos, ldesc, llvl, ldist, lval = _pack_map_points(
             last_entries, LOCAL_POINT_CAP
         )
-        cid, cpos, cdesc, clvl, cdist, cval = _pack_map_points(
-            local_entries, LOCAL_POINT_CAP
-        )
+        # the local-map candidate set only changes when the map does
+        # (keyframe insertion / BA / culling) — cache the packed arrays
+        # between keyframes instead of re-walking the map every frame
+        cache_key = (self.ref_kf.id, len(self.map.points), len(self.map.keyframes))
+        if getattr(self, "_local_cache_key", None) != cache_key:
+            kf_ids = self.map.local_keyframes(self.ref_kf, 20)
+            local_entries = self._entries_from_ids(
+                self.map.points_seen_by(kf_ids)
+            )
+            self._local_cache = _pack_map_points(local_entries, LOCAL_POINT_CAP)
+            self._local_cache_key = cache_key
+        cid, cpos, cdesc, clvl, cdist, cval = self._local_cache
         T_pred = (self.velocity @ self.last_frame.T_cw).astype(np.float32)
 
         feats_j, st_j, result_j = frame_step.track_frame_stereo(
