@@ -1,5 +1,11 @@
 """End-to-end SLAM throughput benchmark on live hardware.
 
+NOTE: the default run length stays within the synthetic world's stable
+tracking regime (~5 m of travel); beyond that the random-texture world
+becomes self-similar enough to destabilize matching (see
+docs/STATUS.md). Throughput is the quantity under test here — accuracy
+is covered by the test suite's controlled scenes.
+
 Runs the FULL object-aware stereo pipeline (ORB x2, stereo depth,
 projection matching, motion-only GN, keyframing, local mapping with
 joint BA, per-keyframe object GN + meshes) over an in-memory synthetic
@@ -98,8 +104,8 @@ def make_detections(cam_x, rng):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--frames", type=int, default=40)
-    p.add_argument("--warmup", type=int, default=8)
+    p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--warmup", type=int, default=6)
     p.add_argument("--no_objects", action="store_true")
     args = p.parse_args(argv)
 
