@@ -526,24 +526,29 @@ class Tracker:
                 p.n_visible += 1
 
     def _need_new_keyframe(self, frame: Frame) -> bool:
+        """Keyframe policy (Tracking::NeedNewKeyFrame): insert when enough
+        frames have passed, or when tracking support has visibly decayed
+        relative to the reference keyframe AND a minimum spacing has
+        elapsed — inserting on every weak frame cascades (each fresh
+        keyframe resets the 75% baseline, spawns points and reruns BA,
+        which weakens the next frame in turn)."""
         if self.localization_only or self.ref_kf is None:
             return False
         if self.frames_since_kf >= self.cfg.max_frames_between_kf:
             return True
+        if self.frames_since_kf < max(self.cfg.min_frames_between_kf, 2):
+            return False
         ref_matches = int((self.ref_kf.map_point_ids >= 0).sum())
         tracked = int((frame.map_point_ids >= 0).sum())
-        if tracked < 0.75 * ref_matches:
-            # stereo rule: enough close new candidates?
-            if frame.depth is not None:
-                close_untracked = (
-                    (frame.depth > 0)
-                    & (frame.depth < self.cfg.depth_threshold)
-                    & (frame.map_point_ids < 0)
-                ).sum()
-                if tracked < 100 and close_untracked > 70:
-                    return True
-            return tracked < 0.5 * ref_matches or self.frames_since_kf > 0
-        return False
+        if frame.depth is not None:
+            close_untracked = (
+                (frame.depth > 0)
+                & (frame.depth < self.cfg.depth_threshold)
+                & (frame.map_point_ids < 0)
+            ).sum()
+            if tracked < 100 and close_untracked > 70:
+                return True
+        return tracked < 0.5 * ref_matches and tracked > 15
 
     def _spawn_keyframe_with_points(self, frame: Frame, min_points=100):
         kf = KeyFrame(frame)
