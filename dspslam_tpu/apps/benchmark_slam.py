@@ -1,11 +1,5 @@
 """End-to-end SLAM throughput benchmark on live hardware.
 
-NOTE: the default run length stays within the synthetic world's stable
-tracking regime (~5 m of travel); beyond that the random-texture world
-becomes self-similar enough to destabilize matching (see
-docs/STATUS.md). Throughput is the quantity under test here — accuracy
-is covered by the test suite's controlled scenes.
-
 Runs the FULL object-aware stereo pipeline (ORB x2, stereo depth,
 projection matching, motion-only GN, keyframing, local mapping with
 joint BA, per-keyframe object GN + meshes) over an in-memory synthetic
@@ -13,6 +7,11 @@ KITTI-like sequence and reports steady-state frames/second — the
 reference's headline "operates at 10 fps" claim (README.md:3), measured
 the same way (wall clock around the per-frame track call,
 dsp_slam.cc:76-115).
+
+The world is a datasets.synthetic.LayeredWorld: ground plane + three
+depth layers with subpixel-exact stereo, the same information structure
+as a real street scene (near ground anchors camera y/z; see the module
+docstring for the failure modes of simpler fixtures).
 
 Usage:  python -m dspslam_tpu.apps.benchmark_slam [--frames 40]
 """
@@ -25,6 +24,7 @@ import time
 
 import numpy as np
 
+from ..datasets.synthetic import LayeredWorld
 from ..frontend import orb
 from ..models import deepsdf
 from ..objects.detections import Detection
@@ -37,41 +37,21 @@ FX = FY = 707.0912
 CX, CY = 601.8873, 183.1104
 BF = 379.8145
 H, W = 376, 1241
-FAR_Z, NEAR_Z = 20.0, 10.0
+BASELINE_M = BF / FX
 CODE_LEN = 64
 SPHERES_W = np.array([[2.0, 1.0, 9.0], [-4.0, 0.5, 14.0]], np.float32)
 RADIUS = 1.0
 
 
-def build_world(seed=0):
-    rng = np.random.default_rng(seed)
-    far = rng.normal(80, 10, (H, 3 * W)).astype(np.float32)
-    for _ in range(900):
-        y, x = rng.integers(10, H - 20), rng.integers(10, 3 * W - 20)
-        s = rng.integers(4, 12)
-        far[y : y + s, x : x + s] = rng.uniform(150, 230)
-    near = np.full((H, 6 * W), np.nan, np.float32)
-    for gx in range(10, 6 * W - 60, 120):
-        y = rng.integers(10, H - 48)
-        s = int(rng.integers(24, 44))
-        patch = rng.normal(120, 25, (s, s)).astype(np.float32)
-        for _ in range(6):
-            py, px = rng.integers(2, s - 10, 2)
-            q = rng.integers(4, 8)
-            patch[py : py + q, px : px + q] = rng.uniform(30, 240)
-        near[y : y + s, gx : gx + s] = patch
-    return far, near
+def build_world(seed=0, x_max=40.0):
+    return LayeredWorld(
+        W, H, FX, cx=CX, cy=CY, depths=(25.0, 12.0, 7.0),
+        ground_height=1.65, x_range=(-1.0, x_max), seed=seed,
+    )
 
 
 def render(world, cam_x, baseline_m=0.0):
-    far, near = world
-    sf = int(round(FX * (cam_x + baseline_m) / FAR_Z))
-    sn = int(round(FX * (cam_x + baseline_m) / NEAR_Z))
-    img = far[:, W + sf : 2 * W + sf].copy()
-    crop = near[:, W + sn : W + sn + W]
-    m = ~np.isnan(crop)
-    img[m] = crop[m]
-    return img
+    return world.render(cam_x, baseline_m)
 
 
 def make_detections(cam_x, rng):
@@ -148,7 +128,7 @@ def main(argv=None):
         cam_xs[k] = k * step
         l = jax.device_put(render(world, cam_xs[k]).astype(np.float32))
         r = jax.device_put(
-            render(world, cam_xs[k], 0.537).astype(np.float32)
+            render(world, cam_xs[k], BASELINE_M).astype(np.float32)
         )
         return l, r
 

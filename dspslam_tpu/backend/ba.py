@@ -45,6 +45,14 @@ def _es(*args, **kw):
 
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
+# hard cap: edges beyond ~35 px error are unrecoverable junk (points at or
+# behind the camera plane have |J| ~ fx/z unbounded, so even Huber-weighted
+# they drag the normal equations arbitrarily far — g2o avoids this via LM
+# step rejection; with fixed damping we excise instead, mirroring the
+# reference's edge removal `chi2() > th || !isDepthPositive()`
+# (Optimizer_util.cc:641-663))
+CHI2_HARD_CAP = 1e4
+MIN_DEPTH = 0.05
 OBJ_INFO = 1e3                      # invSigmaObject (Optimizer_util.cc:80)
 OBJ_HUBER_DELTA2 = 0.1 * OBJ_INFO   # thHuberObject^2
 OBJ_CHI2_OUTLIER = 1e3              # edge removal threshold
@@ -77,7 +85,7 @@ def _point_residuals(T_cw_all, pts, obs_kf, obs_pt, obs_uvr, obs_stereo,
 
     J_pose = dpix_dpc @ lie.points_to_pose_jacobian_se3(pc)  # (O, 3, 6)
     J_pt = dpix_dpc @ T[:, :3, :3]                           # (O, 3, 3)
-    return res, J_pose, J_pt
+    return res, J_pose, J_pt, z
 
 
 def _object_residual_single(T_cw, T_wo, T_co_meas):
@@ -146,10 +154,38 @@ def bundle_adjust(
 
     chi2_th = jnp.where(obs_stereo > 0, CHI2_STEREO, CHI2_MONO)
 
+    def robust_cost(kf_T, pts, obj_T, inlier, edge_inlier):
+        """Total Huber cost — the LM acceptance criterion. Depth is
+        clamped (not excised) so steps that push points behind the
+        camera raise the cost instead of hiding it."""
+        res, _, _, _ = _point_residuals(
+            kf_T, pts, obs_kf, obs_pt, obs_uvr, obs_stereo, intrinsics
+        )
+        chi2 = jnp.sum(res * res, axis=-1) * obs_inv_sigma2
+        hcost = jnp.where(
+            chi2 <= chi2_th,
+            chi2,
+            2.0 * jnp.sqrt(jnp.maximum(chi2, 0.0) * chi2_th) - chi2_th,
+        )
+        c = jnp.sum(hcost * inlier * obs_valid)
+        if has_obj:
+            r_o = jax.vmap(_object_residual_single)(
+                kf_T[edge_kf], obj_T[edge_obj], edge_Tco
+            )
+            chi2_o = jnp.sum(r_o * r_o, axis=-1) * OBJ_INFO
+            hcost_o = jnp.where(
+                chi2_o <= OBJ_HUBER_DELTA2,
+                chi2_o,
+                2.0 * jnp.sqrt(jnp.maximum(chi2_o, 0.0) * OBJ_HUBER_DELTA2)
+                - OBJ_HUBER_DELTA2,
+            )
+            c = c + jnp.sum(hcost_o * edge_inlier)
+        return c
 
     def gn_step(carry):
-        kf_T, pts, inlier, obj_T, edge_inlier = carry
-        res, J_c, J_p = _point_residuals(
+        kf_T, pts, inlier, obj_T, edge_inlier, lam, cost_prev = carry
+        damping = lam
+        res, J_c, J_p, z = _point_residuals(
             kf_T, pts, obs_kf, obs_pt, obs_uvr, obs_stereo, intrinsics
         )
         w = inlier * obs_valid * obs_inv_sigma2
@@ -157,7 +193,10 @@ def bundle_adjust(
         hub = jnp.where(
             chi2 <= chi2_th, 1.0, jnp.sqrt(chi2_th / jnp.maximum(chi2, 1e-12))
         )
-        w = w * hub                                            # (O,)
+        # excise unrecoverable edges for this linearization (not a
+        # permanent flag — they are re-tested every iteration)
+        live = ((chi2 <= CHI2_HARD_CAP) & (z > MIN_DEPTH)).astype(jnp.float32)
+        w = w * hub * live                                     # (O,)
 
         JcW = J_c * w[:, None, None]
         JpW = J_p * w[:, None, None]
@@ -178,12 +217,20 @@ def bundle_adjust(
             _es("oij,oik->ojk", JcW, J_p)
         )
 
-        Hpp = Hpp + damping * jnp.eye(3)
+        # Marquardt scaling: lam * diag(H) is scale-invariant, so one
+        # lambda works across the mixed px^2/m^2 magnitudes of the
+        # Hessian blocks; the absolute floor keeps unobserved (padded)
+        # blocks invertible
+        d_pp = jnp.diagonal(Hpp, axis1=1, axis2=2)             # (P, 3)
+        Hpp = Hpp + jax.vmap(jnp.diag)(damping * d_pp) + 1e-6 * jnp.eye(3)
         Hpp_inv = jnp.linalg.inv(Hpp) * pt_valid[:, None, None]
 
         # reduced camera system
+        d_cc = jnp.diagonal(Hcc, axis1=1, axis2=2)             # (K, 6)
         S = jnp.zeros((K, K, 6, 6))
-        S = S.at[jnp.arange(K), jnp.arange(K)].set(Hcc + damping * jnp.eye(6))
+        S = S.at[jnp.arange(K), jnp.arange(K)].set(
+            Hcc + jax.vmap(jnp.diag)(damping * d_cc) + 1e-6 * jnp.eye(6)
+        )
         S = S - _es("kpab,pbc,lpdc->klad", W, Hpp_inv, W)
         rhs = bc - _es("kpab,pbc,pc->ka", W, Hpp_inv, bp)
 
@@ -219,8 +266,11 @@ def bundle_adjust(
             H_oo = jnp.zeros((M, M, 6, 6)).at[edge_obj, edge_obj].add(
                 _es("qij,qik->qjk", JoW_o, Jo_o)
             )
+            d_oo = jnp.diagonal(
+                H_oo[jnp.arange(M), jnp.arange(M)], axis1=1, axis2=2
+            )
             H_oo = H_oo.at[jnp.arange(M), jnp.arange(M)].add(
-                damping * jnp.eye(6)
+                jax.vmap(jnp.diag)(damping * d_oo) + 1e-6 * jnp.eye(6)
             )
             H_full = H_full.at[6 * K :, 6 * K :].set(
                 H_oo.transpose(0, 2, 1, 3).reshape(6 * M, 6 * M)
@@ -279,15 +329,37 @@ def bundle_adjust(
         )
         dx_p = jnp.clip(jnp.where(jnp.isfinite(dx_p), dx_p, 0.0), -0.5, 0.5)
         pts_new = pts + dx_p * pt_valid[:, None]
-        return kf_T_new, pts_new, inlier, obj_T_new, new_edge_inlier
+
+        # Levenberg-Marquardt acceptance: keep the step only if the total
+        # robust cost decreased (g2o rejects cost-increasing steps and
+        # raises lambda; fixed-damping GN oscillates then diverges on
+        # ill-conditioned windows — observed as 0.5-1 m point scatter on
+        # short-baseline far-point windows)
+        cost_new = robust_cost(
+            kf_T_new, pts_new, obj_T_new, inlier, new_edge_inlier
+        )
+        accept = jnp.isfinite(cost_new) & (cost_new < cost_prev)
+        sel = lambda a, b: jnp.where(accept, a, b)
+        kf_T_new = sel(kf_T_new, kf_T)
+        pts_new = sel(pts_new, pts)
+        obj_T_new = sel(obj_T_new, obj_T)
+        lam_new = jnp.clip(
+            jnp.where(accept, lam / 3.0, lam * 3.0), 1e-7, 1e8
+        )
+        cost_keep = jnp.where(accept, cost_new, cost_prev)
+        return (kf_T_new, pts_new, inlier, obj_T_new, new_edge_inlier,
+                lam_new, cost_keep)
 
     def reclassify(carry):
-        kf_T, pts, inlier, obj_T, edge_inlier = carry
-        res, _, _ = _point_residuals(
+        kf_T, pts, inlier, obj_T, edge_inlier, lam, _ = carry
+        res, _, _, z = _point_residuals(
             kf_T, pts, obs_kf, obs_pt, obs_uvr, obs_stereo, intrinsics
         )
         chi2 = jnp.sum(res * res, axis=-1) * obs_inv_sigma2
-        inlier = (chi2 <= chi2_th).astype(jnp.float32) * obs_valid
+        # chi2 > th OR !isDepthPositive (Optimizer_util.cc:641-663)
+        inlier = (
+            (chi2 <= chi2_th) & (z > MIN_DEPTH)
+        ).astype(jnp.float32) * obs_valid
         if has_obj:
             r_o = jax.vmap(_object_residual_single)(
                 kf_T[edge_kf], obj_T[edge_obj], edge_Tco
@@ -296,21 +368,28 @@ def bundle_adjust(
             edge_inlier = (chi2_o <= OBJ_CHI2_OUTLIER).astype(
                 jnp.float32
             ) * edge_valid0
-        return kf_T, pts, inlier, obj_T, edge_inlier
+        # the acceptance baseline must be re-evaluated under the new
+        # inlier set, or the next round compares against a stale cost
+        cost = robust_cost(kf_T, pts, obj_T, inlier, edge_inlier)
+        return kf_T, pts, inlier, obj_T, edge_inlier, lam, cost
 
+    obj_T0 = obj_poses0 if has_obj else jnp.zeros((0, 4, 4))
+    edge_i0 = edge_valid0 if has_obj else jnp.zeros((0,))
     carry = (
         kf_poses,
         points,
         obs_valid,
-        obj_poses0 if has_obj else jnp.zeros((0, 4, 4)),
-        edge_valid0 if has_obj else jnp.zeros((0,)),
+        obj_T0,
+        edge_i0,
+        jnp.float32(damping),
+        robust_cost(kf_poses, points, obj_T0, obs_valid, edge_i0),
     )
     for round_idx, n_iters in enumerate(schedule):
         carry = jax.lax.fori_loop(0, n_iters, lambda _, c: gn_step(c), carry)
         if round_idx < len(schedule) - 1:
             carry = reclassify(carry)
 
-    kf_T, pts, inlier, obj_T, edge_inlier = carry
+    kf_T, pts, inlier, obj_T, edge_inlier = carry[:5]
     return {
         "kf_poses": kf_T,
         "points": pts,

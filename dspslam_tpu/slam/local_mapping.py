@@ -35,7 +35,11 @@ class LocalMapperConfig:
     cy: float = 183.1104
     bf: float = 379.8145
     cull_found_ratio: float = 0.25
-    cull_min_obs: int = 2
+    # reference MapPointCulling: a point must reach 3 keyframe
+    # observations within 2 keyframes of birth or it is dropped
+    # (LocalMapping.cc, mnMinObs = 3 for stereo) — the rolling-window
+    # filter that keeps only multi-view-confirmed points
+    cull_min_obs: int = 3
     window: int = BA_KF_CAP
 
 
@@ -121,6 +125,14 @@ class LocalMapper:
             for i in np.nonzero(idx >= 0)[0]:
                 j = int(idx[i])
                 if kf.map_point_ids[i] >= 0 or other.map_point_ids[j] >= 0:
+                    continue
+                # stereo-measured keypoints already get their map points
+                # from depth spawning at keyframe creation; epipolar
+                # triangulation serves the depth-less ones (the reference
+                # likewise prefers the stereo measurement when its
+                # parallax beats the keyframe pair's,
+                # LocalMapping.cc:CreateNewMapPoints)
+                if kf.depth is not None and kf.depth[i] > 0:
                     continue
                 X = init_mod._triangulate(
                     P1, P2, kf.feats["xy"][i][None], other.feats["xy"][j][None]

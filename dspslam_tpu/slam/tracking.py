@@ -170,9 +170,14 @@ class Tracker:
 
         frame = Frame(timestamp, feats, depth=st["depth"], u_right=st["u_right"])
         n_in = int(result["n_inliers"])
-        ok = int(result["n_motion"]) >= self.cfg.min_inliers and n_in >= max(
-            self.cfg.min_inliers, 30
-        )
+        # motion-model acceptance mirrors the reference: the prediction
+        # stage must find >= 20 matches (Tracking::TrackWithMotionModel
+        # fails below that and tracking falls back to the prior-free
+        # reference-keyframe search) — with a bad velocity prior the
+        # motion stage can otherwise "confirm" an aliased wrong pose
+        # with a handful of self-similar far-texture matches
+        ok = int(result["n_motion"]) >= max(self.cfg.min_track_matches, 20) \
+            and n_in >= max(self.cfg.min_inliers, 30)
         if ok and np.isfinite(result["T_cw"]).all():
             frame.T_cw = np.asarray(result["T_cw"], np.float32)
             idx = result["match_idx"]
@@ -185,7 +190,7 @@ class Tracker:
             self.n_inliers = n_in
             self.state = State.OK
             self.velocity = frame.T_cw @ self.last_frame.T_wc
-            self._update_last_frame_points(frame)
+            self._update_point_stats(frame, cid, cpos, cval)
             if self._need_new_keyframe(frame):
                 self._create_keyframe(frame)
             self.frames_since_kf += 1
@@ -197,7 +202,6 @@ class Tracker:
             if mod_ok:
                 self.state = State.OK
                 self.velocity = frame.T_cw @ self.last_frame.T_wc
-                self._update_last_frame_points(frame)
                 if self._need_new_keyframe(frame):
                     self._create_keyframe(frame)
                 self.frames_since_kf += 1
@@ -278,7 +282,6 @@ class Tracker:
             if ok:
                 self.state = State.OK
                 self.velocity = None
-                self._update_last_frame_points(frame)
         else:
             ok = self._track_with_motion_model(frame)
             if not ok:
@@ -289,7 +292,6 @@ class Tracker:
                 self.state = State.OK
                 if self.last_frame is not None:
                     self.velocity = frame.T_cw @ self.last_frame.T_wc
-                self._update_last_frame_points(frame)
                 if self._need_new_keyframe(frame):
                     self._create_keyframe(frame)
                 self.frames_since_kf += 1
@@ -503,6 +505,10 @@ class Tracker:
         entries = self._entries_from_ids(self.map.points_seen_by(kf_ids))
         n_in = self._match_and_optimize(frame, entries, self.cfg.search_radius_local)
         self.n_inliers = n_in
+        if entries:
+            ids = np.array([e[0] for e in entries])
+            pos = np.stack([e[1] for e in entries])
+            self._update_point_stats(frame, ids, pos, np.ones(len(ids)))
         # reference accepts local-map tracking only with >= 30 inliers
         return n_in >= max(self.cfg.min_inliers, 30)
 
@@ -518,12 +524,35 @@ class Tracker:
         return entries
 
     # ------------------------------------------------------------------
-    def _update_last_frame_points(self, frame: Frame):
-        for kp_idx in np.nonzero(frame.map_point_ids >= 0)[0]:
-            p = self.map.points.get(int(frame.map_point_ids[kp_idx]))
+    def _update_point_stats(self, frame: Frame, ids, pos, valid):
+        """IncreaseVisible for every local candidate in the frustum,
+        IncreaseFound for tracked inliers (Tracking::SearchLocalPoints /
+        TrackLocalMap). This asymmetry is what lets found_ratio decay
+        for stale points: stereo-spawned depths age out of the chi2
+        gate after a few metres of travel (reprojection error grows as
+        travel/baseline * disparity-noise px, independent of depth), and
+        points that stop matching must be culled, not kept as pose-opt
+        poison."""
+        T = frame.T_cw
+        pc = pos @ T[:3, :3].T + T[:3, 3]
+        z = pc[:, 2]
+        zs = np.where(z > 1e-6, z, 1e-6)
+        u = self.cfg.fx * pc[:, 0] / zs + self.cfg.cx
+        v = self.cfg.fy * pc[:, 1] / zs + self.cfg.cy
+        vis = (
+            (np.asarray(valid) > 0) & (z > 0.1)
+            & (u >= 0) & (u < self.cfg.width)
+            & (v >= 0) & (v < self.cfg.height)
+        )
+        tracked = set(
+            int(i) for i in frame.map_point_ids[frame.map_point_ids >= 0]
+        )
+        for i in np.nonzero(vis)[0]:
+            p = self.map.points.get(int(ids[i]))
             if p is not None:
-                p.n_found += 1
                 p.n_visible += 1
+                if p.id in tracked:
+                    p.n_found += 1
 
     def _need_new_keyframe(self, frame: Frame) -> bool:
         """Keyframe policy (Tracking::NeedNewKeyFrame): insert when enough
