@@ -35,7 +35,7 @@ def _edge_residual(S_iw, S_jw, S_ij_meas):
     return lie.log_sim3(S_ij_meas @ S_jw @ lie.inverse_sim3(S_iw))
 
 
-@partial(jax.jit, static_argnums=(6,))
+@partial(jax.jit, static_argnums=(6, 8))
 def optimize_pose_graph(
     poses: jnp.ndarray,       # (K, 4, 4) Sim(3) S_cw per keyframe
     fixed: jnp.ndarray,       # (K,) 1.0 = held fixed
@@ -45,6 +45,7 @@ def optimize_pose_graph(
     edge_valid: jnp.ndarray,  # (E,)
     iterations: int = 20,
     damping: float = 1e-4,
+    fix_scale: bool = False,  # stereo: clamp the log-scale tangent dim
 ):
     """Dense GN over Sim(3) tangents; returns optimized (K, 4, 4)."""
     K = poses.shape[0]
@@ -83,6 +84,13 @@ def optimize_pose_graph(
 
         Hd = H.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
         free = jnp.repeat(1.0 - fixed, 7)
+        if fix_scale:
+            # tangent order [t(3), r(3), log-s]: clamp every 7th dim
+            # (reference bFixScale, Optimizer.cc:810 VertexSim3 _fix_scale)
+            dim_mask = jnp.tile(
+                jnp.array([1, 1, 1, 1, 1, 1, 0], jnp.float32), K
+            )
+            free = free * dim_mask
         Hd = Hd * (free[:, None] * free[None, :]) + jnp.diag(1.0 - free)
         Hd = Hd + damping * jnp.eye(7 * K)
         rhs = b.reshape(-1) * free

@@ -59,14 +59,31 @@ class ObjectPipeline:
     # ------------------------------------------------------------------
     def process_keyframe(self, kf, local_kf_ids: list[int]):
         """Run association + measurement GN + new-object reconstruction."""
+        pending = self.dispatch_keyframe(kf, local_kf_ids)
+        self.apply_keyframe(kf, pending)
+
+    def dispatch_keyframe(self, kf, local_kf_ids: list[int]):
+        """Associate detections (host) and DISPATCH both GN device
+        programs (pose-only for associated, joint recon for new) without
+        fetching — callers overlap other device work before
+        apply_keyframe fetches the results."""
         if not kf.detections:
-            return
+            return None
         local_objects = self._local_objects(local_kf_ids)
         assoc, new_idx, bad_idx = association.associate_detections_centroid(
             kf, local_objects, kf.T_cw
         )
-        self._measure_associated(kf, assoc)
-        self._reconstruct_new(kf, [i for i in new_idx if i not in bad_idx])
+        measured = self._dispatch_measure(kf, assoc)
+        recon = self._dispatch_recon(
+            kf, [i for i in new_idx if i not in bad_idx]
+        )
+        return measured, recon
+
+    def apply_keyframe(self, kf, pending):
+        if pending is not None:
+            measured, recon = pending
+            self._apply_measure(kf, measured)
+            self._apply_recon(kf, recon)
         self._cull_objects(kf)
 
     def _local_objects(self, kf_ids):
@@ -85,9 +102,9 @@ class ObjectPipeline:
         return objs
 
     # ------------------------------------------------------------------
-    def _measure_associated(self, kf, assoc):
+    def _dispatch_measure(self, kf, assoc):
         """Pose-only GN for ALL associated detections in one batched
-        device program -> SE3 T_co measurements."""
+        device program -> SE3 T_co measurements (dispatch only)."""
         entries = [
             (det_idx, obj)
             for det_idx, obj in assoc.items()
@@ -95,7 +112,7 @@ class ObjectPipeline:
             >= association.MIN_PTS_ASSOCIATED
         ]
         if not entries:
-            return
+            return None
         B = self.caps[0]
         P = self.caps[1]
         entries = entries[:B]
@@ -116,6 +133,12 @@ class ObjectPipeline:
             self.decoder_params, jnp.asarray(t_init), jnp.asarray(scales),
             jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(codes),
         )
+        return entries, out
+
+    def _apply_measure(self, kf, pending):
+        if pending is None:
+            return
+        entries, out = pending
         t_all = np.asarray(out["t_cam_obj"])
         T_wc = np.linalg.inv(kf.T_cw)
         for i, (det_idx, obj) in enumerate(entries):
@@ -132,8 +155,8 @@ class ObjectPipeline:
             obj.n_observed += 1
 
     # ------------------------------------------------------------------
-    def _reconstruct_new(self, kf, new_indices):
-        """Batched joint GN on all new detections of this keyframe."""
+    def _dispatch_recon(self, kf, new_indices):
+        """Batched joint GN on all new detections (dispatch only)."""
         dets = []
         det_map = []
         for i in new_indices:
@@ -146,7 +169,7 @@ class ObjectPipeline:
                 dets.append(det)
                 det_map.append(i)
         if not dets:
-            return
+            return None
         B, P, R = self.caps
         batch = pad_detections(dets, B, P, R)
         out = self.batched_recon(
@@ -160,6 +183,13 @@ class ObjectPipeline:
             jnp.asarray(batch["fg_mask"]),
             jnp.zeros((B, self.cfg.code_len)),
         )
+        return det_map, out
+
+    def _apply_recon(self, kf, pending):
+        if pending is None:
+            return
+        det_map, out = pending
+        B = self.caps[0]
         t_cam_obj = np.asarray(out["t_cam_obj"])
         codes = np.asarray(out["code"])
         good = np.asarray(out["is_good"])

@@ -25,17 +25,37 @@ import jax.numpy as jnp
 
 from ..backend import ba, pose_graph
 from ..frontend import matcher
-from ..ops import lie
+
 from ..slam.map import Map
 from . import sim3 as sim3_mod
 from .vocabulary import KeyFrameDatabase, Vocabulary
 
-GBA_KF_CAP = 32
+GBA_KF_CAP = 64
 GBA_PT_CAP = 4096
 GBA_OBS_CAP = 16384
-PG_KF_CAP = 128
-PG_EDGE_CAP = 512
+GBA_OBJ_CAP = 16
+GBA_EDGE_CAP = 64
+PG_KF_CAP = 256
+PG_EDGE_CAP = 1024
 OBJ_FUSE_DIST = 2.0
+
+
+def _inv_sim3_np(S: np.ndarray) -> np.ndarray:
+    """Host-side Sim(3) inverse: [sR t]^-1 = [(1/s)R^T/s, -(R^T/s²)t]."""
+    sR = S[:3, :3]
+    s2 = float(np.linalg.det(sR)) ** (2.0 / 3.0)
+    Rt_over_s = sR.T / s2                       # (sR)^-1 = R^T / s
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = Rt_over_s
+    out[:3, 3] = -Rt_over_s @ S[:3, 3]
+    return out
+
+
+def _next_pow2(n: int, lo: int, hi: int) -> int:
+    k = lo
+    while k < min(n, hi):
+        k *= 2
+    return min(k, hi)
 
 
 class LoopCloser:
@@ -160,11 +180,14 @@ class LoopCloser:
             S_iw_corr = (T_ic @ S_cw_corr).astype(np.float32)
             corrections[kf_id] = (okf.T_cw.copy(), S_iw_corr)
 
-        # move points observed by the group (once each)
-        moved_pts = set()
+        # move points / objects observed by the group (once each; separate
+        # id spaces — MapPoint and MapObject counters are independent, a
+        # shared set silently skipped colliding object ids)
+        moved_pts: set[int] = set()
+        moved_objs: set[int] = set()
         for kf_id, (T_old, S_new) in corrections.items():
             okf = self.map.keyframes[kf_id]
-            S_wi_new = np.asarray(lie.inverse_sim3(jnp.asarray(S_new)))
+            S_wi_new = _inv_sim3_np(S_new)
             for p_id in okf.map_point_ids:
                 if p_id < 0 or p_id in moved_pts:
                     continue
@@ -179,42 +202,178 @@ class LoopCloser:
             # move objects observed by the group (LoopClosing_util.cc:131-146)
             for obj_id in set(okf.object_associations.values()):
                 obj = self.map.objects.get(obj_id)
-                if obj is None or obj.bad or obj_id in moved_pts:
+                if obj is None or obj.bad or obj_id in moved_objs:
                     continue
-                T_io = T_old @ obj.T_wo_se3       # camera_i <- object (old world)
-                T_wo_new = S_wi_new @ T_io
-                s_new = float(np.linalg.det(T_wo_new[:3, :3])) ** (1 / 3)
-                T_se3 = T_wo_new.copy()
-                T_se3[:3, :3] /= s_new
-                obj.set_pose_se3(T_se3.astype(np.float32), obj.scale * s_new)
-                moved_pts.add(obj_id)
+                self._move_object(obj, T_old, S_wi_new)
+                moved_objs.add(obj_id)
             okf.T_cw = S_new  # Sim(3) folded into pose (scale ~1 for stereo)
 
         kf.loop_edges.add(loop_kf.id)
         loop_kf.loop_edges.add(kf.id)
-        self._fuse_objects()
+        self._fuse_objects(kf, loop_kf, corrections)
         self._optimize_essential_graph(kf, loop_kf, corrections)
-        self._global_ba()
+        self._global_ba(kf, loop_kf)
+
+    @staticmethod
+    def _move_object(obj, S_before, S_wi_after):
+        """Re-express an object's T_wo under a keyframe's pose update:
+        hold the camera-frame pose T_io fixed while world_i moves
+        (reference SetObjectPoseSE3(CorrectedTwo), LoopClosing_util.cc:
+        131-146). Scale change folds into the object scale."""
+        T_io = S_before @ obj.T_wo_se3
+        T_wo_new = S_wi_after @ T_io
+        s_new = float(np.linalg.det(T_wo_new[:3, :3])) ** (1.0 / 3.0)
+        T_se3 = T_wo_new.copy()
+        T_se3[:3, :3] /= s_new
+        obj.set_pose_se3(T_se3.astype(np.float32), obj.scale * s_new)
 
     # ------------------------------------------------------------------
-    def _fuse_objects(self):
-        """Merge map objects whose centers coincide (<2 m)."""
-        objs = [o for o in self.map.objects.values() if not o.bad]
-        for i in range(len(objs)):
-            for j in range(i + 1, len(objs)):
-                a, b = objs[i], objs[j]
-                if a.bad or b.bad:
+    def _side_objects(self, kf_ids) -> set[int]:
+        out: set[int] = set()
+        for k in kf_ids:
+            okf = self.map.keyframes.get(k)
+            if okf is None:
+                continue
+            out.update(
+                o for o in okf.object_associations.values()
+                if o in self.map.objects and not self.map.objects[o].bad
+            )
+        return out
+
+    def _fuse_objects(self, kf, loop_kf, corrections):
+        """Merge duplicate objects across the loop: a CURRENT-side object
+        (observed by the corrected group) matching a LOOP-side object
+        (observed by the loop keyframe's group) within 2 m is replaced by
+        the loop-side one (SearchAndFuseObjects, LoopClosing_util.cc:
+        221-293). Unrelated nearby objects — e.g. two parked cars — are
+        never candidates."""
+        cur_ids = self._side_objects(corrections.keys())
+        loop_ids = self._side_objects([loop_kf.id] + list(loop_kf.covis))
+        for cur_id in cur_ids - loop_ids:
+            cur = self.map.objects.get(cur_id)
+            if cur is None or cur.bad:
+                continue
+            best, best_d = None, OBJ_FUSE_DIST
+            for lid in loop_ids:
+                lo = self.map.objects.get(lid)
+                if lo is None or lo.bad or lid == cur_id:
                     continue
-                d = np.linalg.norm(a.T_wo[:3, 3] - b.T_wo[:3, 3])
-                if d < OBJ_FUSE_DIST:
-                    keep, drop = (a, b) if a.id < b.id else (b, a)
-                    self.map.replace_object(drop, keep)
+                d = np.linalg.norm(cur.T_wo[:3, 3] - lo.T_wo[:3, 3])
+                if d < best_d:
+                    best, best_d = lo, d
+            if best is not None:
+                self.map.replace_object(cur, best)
+
+    # ------------------------------------------------------------------
+    def _loop_window(self, kf, loop_kf, cap: int) -> list[int]:
+        """Keyframe window for pose graph / GBA: all keyframes when they
+        fit, else a BFS over spanning tree + covisibility + loop edges
+        anchored on BOTH loop ends — never `sorted(...)[:cap]`, which
+        excluded the loop itself on long sequences."""
+        alive = [k for k, v in self.map.keyframes.items() if not v.bad]
+        if len(alive) <= cap:
+            return sorted(alive)
+        from collections import deque
+
+        seen = {kf.id, loop_kf.id}
+        q = deque(seen)
+        while q and len(seen) < cap:
+            k = q.popleft()
+            okf = self.map.keyframes.get(k)
+            if okf is None:
+                continue
+            neigh = list(okf.covis) + list(okf.loop_edges) + list(okf.children)
+            if okf.parent is not None:
+                neigh.append(okf.parent)
+            for nb in neigh:
+                if nb not in seen and nb in self.map.keyframes \
+                        and not self.map.keyframes[nb].bad:
+                    seen.add(nb)
+                    q.append(nb)
+                    if len(seen) >= cap:
+                        break
+        return sorted(seen)
+
+    def _propagate_and_drag(self, updates: dict, skip_pts=(), skip_objs=()):
+        """Spread pose updates {kf_id: (S_before, S_after)} to every
+        keyframe reachable through the spanning tree, then re-express all
+        map points and objects via their reference keyframe's update —
+        the reference's post-GBA spanning-tree correction
+        (LoopClosing_util.cc:324-411)."""
+        # extend through the spanning tree: child pose follows parent,
+        # holding the (pre-update) relative transform fixed
+        frontier = list(updates)
+        while frontier:
+            nxt = []
+            for k in frontier:
+                okf = self.map.keyframes.get(k)
+                if okf is None:
+                    continue
+                S_par_old, S_par_new = updates[k]
+                inv_par_old = _inv_sim3_np(S_par_old)
+                for child_id in okf.children:
+                    if child_id in updates:
+                        continue
+                    ckf = self.map.keyframes.get(child_id)
+                    if ckf is None or ckf.bad:
+                        continue
+                    T_rel = ckf.T_cw @ inv_par_old
+                    updates[child_id] = (
+                        ckf.T_cw.copy(),
+                        (T_rel @ S_par_new).astype(np.float32),
+                    )
+                    nxt.append(child_id)
+            frontier = nxt
+
+        inv_after = {}
+        for k, (S_before, S_after) in updates.items():
+            okf = self.map.keyframes.get(k)
+            if okf is not None:
+                okf.T_cw = S_after
+            inv_after[k] = _inv_sim3_np(S_after)
+
+        def pick_kf(ref_id, observations):
+            if ref_id in updates:
+                return ref_id
+            ref = self.map.keyframes.get(ref_id)
+            if ref is not None and not ref.bad:
+                return None   # reference alive and unmoved -> entity stays
+            for o in observations:   # ref culled: follow any moved observer
+                if o in updates:
+                    return o
+            return None
+
+        for p in self.map.points.values():
+            if p.bad or p.id in skip_pts:
+                continue
+            k = pick_kf(p.ref_kf_id, p.observations)
+            if k is None:
+                continue
+            S_before, _ = updates[k]
+            x_i = S_before[:3, :3] @ p.position + S_before[:3, 3]
+            S_wi = inv_after[k]
+            p.position = (S_wi[:3, :3] @ x_i + S_wi[:3, 3]).astype(np.float32)
+        for obj in self.map.objects.values():
+            if obj.bad or obj.id in skip_objs:
+                continue
+            k = pick_kf(obj.ref_kf_id, obj.observations)
+            if k is None:
+                continue
+            self._move_object(obj, updates[k][0], inv_after[k])
 
     # ------------------------------------------------------------------
     def _optimize_essential_graph(self, kf, loop_kf, corrections):
-        kf_ids = sorted(self.map.keyframes)[:PG_KF_CAP]
+        """Sim(3) essential-graph optimization (Optimizer.cc:780-1044).
+
+        Edge measurements come from PRE-correction poses (the reference's
+        NonCorrectedSim3): vertices of the corrected group start at their
+        corrected poses, so spanning-tree/covis edges touching the group
+        carry the loop error into the rest of the graph. The fresh loop
+        edge uses the corrected relative pose — its residual is zero and
+        it anchors the current side to the (fixed) loop keyframe."""
+        kf_ids = self._loop_window(kf, loop_kf, PG_KF_CAP)
         slot = {k: i for i, k in enumerate(kf_ids)}
-        K = PG_KF_CAP
+        K = _next_pow2(len(kf_ids), 32, PG_KF_CAP)
         poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
         fixed = np.ones(K, np.float32)
         for k, i in slot.items():
@@ -223,16 +382,25 @@ class LoopCloser:
         if loop_kf.id in slot:
             fixed[slot[loop_kf.id]] = 1.0
 
+        def pose_before(k):
+            if k in corrections:
+                return corrections[k][0]
+            return self.map.keyframes[k].T_cw
+
         E = PG_EDGE_CAP
         edge_i = np.zeros(E, np.int32)
         edge_j = np.zeros(E, np.int32)
         edge_meas = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))
         edge_valid = np.zeros(E, np.float32)
         n = 0
+        truncated = False
 
         def add_edge(i_id, j_id, meas):
-            nonlocal n
-            if n >= E or i_id not in slot or j_id not in slot:
+            nonlocal n, truncated
+            if i_id not in slot or j_id not in slot:
+                return
+            if n >= E:
+                truncated = True
                 return
             edge_i[n] = slot[i_id]
             edge_j[n] = slot[j_id]
@@ -240,62 +408,57 @@ class LoopCloser:
             edge_valid[n] = 1.0
             n += 1
 
+        new_loop = {(kf.id, loop_kf.id), (loop_kf.id, kf.id)}
         for k in kf_ids:
             okf = self.map.keyframes[k]
-            # spanning-tree edge
+            # spanning-tree edge (pre-correction relative pose)
             if okf.parent is not None and okf.parent in slot:
-                pkf = self.map.keyframes[okf.parent]
-                meas = okf.T_cw @ np.asarray(
-                    lie.inverse_sim3(jnp.asarray(pkf.T_cw))
-                )
+                meas = pose_before(k) @ _inv_sim3_np(pose_before(okf.parent))
                 add_edge(k, okf.parent, meas)
-            # loop edges
+            # loop edges: fresh one from corrected poses, old ones from
+            # their (already consistent) stored poses
             for l in okf.loop_edges:
                 if l < k and l in slot:
-                    lkf = self.map.keyframes[l]
-                    meas = okf.T_cw @ np.asarray(
-                        lie.inverse_sim3(jnp.asarray(lkf.T_cw))
-                    )
+                    if (k, l) in new_loop:
+                        meas = self.map.keyframes[k].T_cw @ _inv_sim3_np(
+                            self.map.keyframes[l].T_cw
+                        )
+                    else:
+                        meas = pose_before(k) @ _inv_sim3_np(pose_before(l))
                     add_edge(k, l, meas)
             # strong covisibility
             for other, w in okf.covis.items():
-                if w >= 100 and other < k:
-                    o = self.map.keyframes.get(other)
-                    if o is None:
-                        continue
-                    meas = okf.T_cw @ np.asarray(
-                        lie.inverse_sim3(jnp.asarray(o.T_cw))
-                    )
+                if w >= 100 and other < k and other in slot:
+                    meas = pose_before(k) @ _inv_sim3_np(pose_before(other))
                     add_edge(k, other, meas)
+        if truncated:
+            print(f"[loop_closing] pose-graph edges truncated at {E}")
 
         if n < 2:
             return
         out = pose_graph.optimize_pose_graph(
             jnp.asarray(poses), jnp.asarray(fixed), jnp.asarray(edge_i),
             jnp.asarray(edge_j), jnp.asarray(edge_meas), jnp.asarray(edge_valid),
+            fix_scale=self.fix_scale,
         )
         new_poses = np.asarray(out)
+        if not np.isfinite(new_poses).all():
+            return
+        updates = {}
         for k, i in slot.items():
             if fixed[i] == 0.0:
-                okf = self.map.keyframes[k]
-                S_old = okf.T_cw.copy()
-                S_new = new_poses[i]
-                okf.T_cw = S_new
-                # drag this keyframe's points along
-                S_wi_new = np.asarray(lie.inverse_sim3(jnp.asarray(S_new)))
-                for p_id in okf.map_point_ids:
-                    p = self.map.points.get(int(p_id)) if p_id >= 0 else None
-                    if p is None or p.bad or p.ref_kf_id != k:
-                        continue
-                    x_i = S_old[:3, :3] @ p.position + S_old[:3, 3]
-                    p.position = (
-                        S_wi_new[:3, :3] @ x_i + S_wi_new[:3, 3]
-                    ).astype(np.float32)
+                updates[k] = (
+                    self.map.keyframes[k].T_cw.copy(), new_poses[i]
+                )
+        self._propagate_and_drag(updates)
 
     # ------------------------------------------------------------------
-    def _global_ba(self):
-        """Global joint BA over (capped) keyframes and points."""
-        kf_ids = sorted(self.map.keyframes)[:GBA_KF_CAP]
+    def _global_ba(self, kf, loop_kf):
+        """Global joint BA windowed around the loop, with camera-object
+        edges; corrections propagate to out-of-window keyframes, points
+        and objects through the spanning tree (GlobalJointBundleAdjustemnt
+        + LoopClosing_util.cc:295-423)."""
+        kf_ids = self._loop_window(kf, loop_kf, GBA_KF_CAP)
         slot = {k: i for i, k in enumerate(kf_ids)}
         K = GBA_KF_CAP
         kf_poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
@@ -303,7 +466,9 @@ class LoopCloser:
         for k, i in slot.items():
             kf_poses[i] = self.map.keyframes[k].T_cw
             kf_fixed[i] = 0.0
-        kf_fixed[slot[min(kf_ids)]] = 1.0
+        # gauge: keyframe 0 when present, else the loop keyframe
+        anchor = 0 if 0 in slot else loop_kf.id if loop_kf.id in slot else min(kf_ids)
+        kf_fixed[slot[anchor]] = 1.0
 
         pt_ids = self.map.points_seen_by(kf_ids)[:GBA_PT_CAP]
         pslot = {p: i for i, p in enumerate(pt_ids)}
@@ -340,16 +505,85 @@ class LoopCloser:
                 m += 1
         if m < 50:
             return
+
+        # objects observed by window keyframes -> joint camera-object edges
+        # (GlobalJointBundleAdjustemnt includes them, Optimizer_util.cc:36-42)
+        obj_state = None
+        obj_ids = sorted(self._side_objects(kf_ids))[:GBA_OBJ_CAP]
+        oslot = {}
+        obj_fixed = None
+        if obj_ids:
+            oslot = {o: i for i, o in enumerate(obj_ids)}
+            M, Q = GBA_OBJ_CAP, GBA_EDGE_CAP
+            obj_poses = np.tile(np.eye(4, dtype=np.float32), (M, 1, 1))
+            obj_fixed = np.ones(M, np.float32)
+            edge_kf = np.zeros(Q, np.int32)
+            edge_obj = np.zeros(Q, np.int32)
+            edge_Tco = np.tile(np.eye(4, dtype=np.float32), (Q, 1, 1))
+            edge_valid = np.zeros(Q, np.float32)
+            qn = 0
+            for o, i in oslot.items():
+                obj = self.map.objects[o]
+                obj_poses[i] = obj.T_wo_se3
+                obj_fixed[i] = 0.0
+                for kf_id, det_idx in obj.observations.items():
+                    okf = self.map.keyframes.get(kf_id)
+                    if okf is None or kf_id not in slot or qn >= Q:
+                        continue
+                    if det_idx >= len(okf.detections):
+                        continue
+                    T_co = getattr(
+                        okf.detections[det_idx], "T_co_se3_measured", None
+                    )
+                    if T_co is None:
+                        continue
+                    edge_kf[qn] = slot[kf_id]
+                    edge_obj[qn] = oslot[o]
+                    edge_Tco[qn] = T_co
+                    edge_valid[qn] = 1.0
+                    qn += 1
+            if qn > 0:
+                obj_state = {
+                    "poses": jnp.asarray(obj_poses),
+                    "fixed": jnp.asarray(obj_fixed),
+                    "edge_kf": jnp.asarray(edge_kf),
+                    "edge_obj": jnp.asarray(edge_obj),
+                    "edge_Tco": jnp.asarray(edge_Tco),
+                    "edge_valid": jnp.asarray(edge_valid),
+                }
+
         out = ba.bundle_adjust(
             jnp.asarray(kf_poses), jnp.asarray(kf_fixed), jnp.asarray(points),
             jnp.asarray(pt_valid), jnp.asarray(obs_kf), jnp.asarray(obs_pt),
             jnp.asarray(obs), jnp.asarray(obs_stereo), jnp.asarray(obs_is2),
-            jnp.asarray(obs_valid), self.intrinsics, 1e-3, None, (10,),
+            jnp.asarray(obs_valid), self.intrinsics, 1e-3, obj_state, (10,),
         )
         new_poses = np.asarray(out["kf_poses"])
+        new_pts = np.asarray(out["points"])
+        if not (np.isfinite(new_poses).all() and np.isfinite(new_pts).all()):
+            return
+        updates = {}
         for k, i in slot.items():
             if kf_fixed[i] == 0.0:
-                self.map.keyframes[k].T_cw = new_poses[i]
-        new_pts = np.asarray(out["points"])
+                updates[k] = (self.map.keyframes[k].T_cw.copy(), new_poses[i])
+            else:
+                # fixed-in-window keyframes keep their pose but still act
+                # as propagation anchors for out-of-window children
+                updates[k] = (
+                    self.map.keyframes[k].T_cw.copy(),
+                    self.map.keyframes[k].T_cw.copy(),
+                )
+        moved_objs = set()
+        if obj_state is not None:
+            new_obj = np.asarray(out["obj_poses"])
+            if np.isfinite(new_obj).all():
+                for o, i in oslot.items():
+                    if obj_fixed[i] == 0.0:
+                        self.map.objects[o].set_pose_se3(new_obj[i])
+                        moved_objs.add(o)
+        # out-of-window keyframes/points/objects follow via spanning tree
+        self._propagate_and_drag(
+            updates, skip_pts=set(pslot), skip_objs=moved_objs
+        )
         for p, i in pslot.items():
             self.map.points[p].position = new_pts[i]

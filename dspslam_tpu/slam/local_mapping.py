@@ -58,14 +58,25 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def process(self, kf: KeyFrame, triangulate: bool = True):
+        """One keyframe through the mapping stages.
+
+        Device-dispatch discipline (the keyframe analogue of
+        slam.frame_step): the object pipeline's GN programs and the fused
+        triangulation+fusion matcher are all dispatched BEFORE any result
+        is fetched, so their round trips overlap — JAX dispatch is async
+        and the device queue serializes the compute anyway. Round 1 ran
+        these as ~8 dispatch->fetch->host->dispatch cycles (~0.6 s
+        keyframe stalls on relay-attached chips).
+        """
         self.map.update_covisibility(kf)
         self._cull_points(kf)
-        if triangulate:
-            self._create_new_points(kf)
-        self._fuse_duplicates(kf)
+        obj_pending = None
         if self.object_pipeline is not None:
             local_ids = self.map.local_keyframes(kf, self.cfg.window)
-            self.object_pipeline.process_keyframe(kf, local_ids)
+            obj_pending = self.object_pipeline.dispatch_keyframe(kf, local_ids)
+        self._triangulate_and_fuse(kf, triangulate)
+        if self.object_pipeline is not None:
+            self.object_pipeline.apply_keyframe(kf, obj_pending)
         self.local_bundle_adjust(kf)
         self._cull_keyframes(kf)
 
@@ -90,93 +101,51 @@ class LocalMapper:
         self.recent_points.extend((p, birth_kf_id) for p in point_ids)
 
     # ------------------------------------------------------------------
-    def _create_new_points(self, kf: KeyFrame, max_neighbors: int = 2):
-        """Epipolar triangulation of unmatched keypoints against strong
-        covisible keyframes (LocalMapping::CreateNewMapPoints,
-        LocalMapping.cc:258-450). Essential for monocular map growth;
-        stereo keyframes also benefit beyond the depth gate."""
+    def _triangulate_and_fuse(self, kf: KeyFrame, triangulate: bool = True):
+        """Epipolar triangulation against strong covisible keyframes
+        (LocalMapping::CreateNewMapPoints, LocalMapping.cc:258-450) and
+        duplicate fusion (SearchInNeighbors + ORBmatcher::Fuse) in ONE
+        fused device program (slam.keyframe_step); the host only applies
+        the pre-validated results to the map."""
         import jax.numpy as jnp
 
-        from ..frontend import matcher as matcher_mod
         from ..slam.map import MapPoint
-        from . import initializer as init_mod
+        from . import keyframe_step
 
         c = self.cfg
-        K_mat = np.array(
-            [[c.fx, 0, c.cx], [0, c.fy, c.cy], [0, 0, 1.0]], np.float32
-        )
-        created = []
-        for other_id in kf.covisible_keyframes(max_neighbors):
-            other = self.map.keyframes.get(other_id)
-            if other is None or other.bad:
-                continue
-            # enough parallax between the two keyframes?
-            base = np.linalg.norm(kf.camera_center() - other.camera_center())
-            if base < 1e-3:
-                continue
-            idx, _ = matcher_mod.match_features(
-                {k: jnp.asarray(v) for k, v in kf.feats.items()},
-                {k: jnp.asarray(v) for k, v in other.feats.items()},
-                max_dist=50,
-            )
-            idx = np.asarray(idx)
-            P1 = K_mat @ kf.T_cw[:3, :]
-            P2 = K_mat @ other.T_cw[:3, :]
-            for i in np.nonzero(idx >= 0)[0]:
-                j = int(idx[i])
-                if kf.map_point_ids[i] >= 0 or other.map_point_ids[j] >= 0:
+        N = kf.n
+
+        # up to MAX_NEIGHBORS triangulation partners with real baseline
+        neighbors = []
+        if triangulate:
+            for other_id in kf.covisible_keyframes(4):
+                other = self.map.keyframes.get(other_id)
+                if other is None or other.bad:
                     continue
-                # stereo-measured keypoints already get their map points
-                # from depth spawning at keyframe creation; epipolar
-                # triangulation serves the depth-less ones (the reference
-                # likewise prefers the stereo measurement when its
-                # parallax beats the keyframe pair's,
-                # LocalMapping.cc:CreateNewMapPoints)
-                if kf.depth is not None and kf.depth[i] > 0:
-                    continue
-                X = init_mod._triangulate(
-                    P1, P2, kf.feats["xy"][i][None], other.feats["xy"][j][None]
-                )[0]
-                # cheirality + reprojection gates in both views
-                ok = True
-                for view, kp in ((kf, kf.feats["xy"][i]), (other, other.feats["xy"][j])):
-                    pc = view.T_cw[:3, :3] @ X + view.T_cw[:3, 3]
-                    if pc[2] <= 0.05:
-                        ok = False
-                        break
-                    u = c.fx * pc[0] / pc[2] + c.cx
-                    v = c.fy * pc[1] / pc[2] + c.cy
-                    if (u - kp[0]) ** 2 + (v - kp[1]) ** 2 > 5.991 * 2.0:
-                        ok = False
-                        break
-                if not ok:
-                    continue
-                p = MapPoint(
-                    X.astype(np.float32), kf.feats["desc"][i], kf.id,
-                    int(kf.feats["level"][i]),
-                    float(np.linalg.norm(X - kf.camera_center())),
+                base = np.linalg.norm(
+                    kf.camera_center() - other.camera_center()
                 )
-                self.map.add_point(p)
-                self.map.add_observation(p, kf, int(i))
-                self.map.add_observation(p, other, j)
-                created.append(p.id)
-        if created:
-            self.register_new_points(created, kf.id)
-            self.map.update_covisibility(kf)
+                if base < 1e-3:
+                    continue
+                neighbors.append(other)
+                if len(neighbors) == keyframe_step.MAX_NEIGHBORS:
+                    break
 
-    # ------------------------------------------------------------------
-    def _fuse_duplicates(self, kf: KeyFrame, radius: float = 3.0):
-        """Fuse map points duplicated between the new keyframe and its
-        covisible neighbours (LocalMapping::SearchInNeighbors +
-        ORBmatcher::Fuse): project each neighbour's points into the new
-        keyframe; a projection landing on a keypoint that already holds a
-        different point (or none) within `radius` px with a close
-        descriptor merges/attaches."""
-        import jax.numpy as jnp
+        M = keyframe_step.MAX_NEIGHBORS
+        nb_feats = {
+            k: np.zeros((M,) + v.shape, v.dtype) for k, v in kf.feats.items()
+        }
+        nb_T = np.tile(np.eye(4, dtype=np.float32), (M, 1, 1))
+        nb_has = np.ones((M, N), np.float32)
+        nb_ok = np.zeros(M, np.float32)
+        for i, other in enumerate(neighbors):
+            for k in nb_feats:
+                nb_feats[k][i] = other.feats[k]
+            nb_T[i] = other.T_cw
+            nb_has[i] = (other.map_point_ids >= 0).astype(np.float32)
+            nb_ok[i] = 1.0
 
-        from ..frontend import matcher as matcher_mod
-
-        c = self.cfg
+        # fusion candidates: neighbor map points not yet observed by kf
         neighbor_pts = {}
         for other_id in kf.covisible_keyframes(5):
             other = self.map.keyframes.get(other_id)
@@ -187,36 +156,70 @@ class LocalMapper:
                     p = self.map.points.get(int(p_id))
                     if p is not None and not p.bad and kf.id not in p.observations:
                         neighbor_pts[p_id] = p
-        if not neighbor_pts:
+        pts = list(neighbor_pts.values())[: keyframe_step.FUSE_CAP]
+        C = keyframe_step.FUSE_CAP
+        fuse_pos = np.zeros((C, 3), np.float32)
+        fuse_valid = np.zeros(C, np.float32)
+        fuse_desc = np.zeros((C, 8), np.uint32)
+        n_f = len(pts)
+        if n_f:
+            fuse_pos[:n_f] = np.stack([p.position for p in pts])
+            fuse_valid[:n_f] = 1.0
+            fuse_desc[:n_f] = np.stack([p.descriptor for p in pts])
+
+        if not neighbors and not n_f:
             return
-        pts = list(neighbor_pts.values())[:2048]
-        pos = np.stack([p.position for p in pts])
-        pc = pos @ kf.T_cw[:3, :3].T + kf.T_cw[:3, 3]
-        z = np.maximum(pc[:, 2], 1e-6)
-        u = c.fx * pc[:, 0] / z + c.cx
-        v = c.fy * pc[:, 1] / z + c.cy
-        ok = (pc[:, 2] > 0.1) & (u >= 0) & (u < 2 * c.cx) & (v >= 0) & (v < 2 * c.cy)
-        cap = 2048
-        proj = np.zeros((cap, 2), np.float32)
-        valid = np.zeros(cap, np.float32)
-        desc = np.zeros((cap, 8), np.uint32)
-        n = len(pts)
-        proj[:n] = np.stack([u, v], -1)
-        valid[:n] = ok.astype(np.float32)
-        desc[:n] = np.stack([p.descriptor for p in pts])
-        idx, dist = matcher_mod.match_by_projection(
-            jnp.asarray(proj), jnp.asarray(valid), jnp.asarray(desc),
-            jnp.zeros(cap, jnp.int32),
+
+        out = keyframe_step.keyframe_matching(
             {k: jnp.asarray(v) for k, v in kf.feats.items()},
-            radius=radius, max_dist=matcher_mod.TH_LOW, ratio=None,
+            jnp.asarray(kf.T_cw),
+            (kf.map_point_ids >= 0).astype(np.float32),
+            (
+                (kf.depth > 0).astype(np.float32)
+                if kf.depth is not None else np.zeros(N, np.float32)
+            ),
+            {k: jnp.asarray(v) for k, v in nb_feats.items()},
+            jnp.asarray(nb_T), jnp.asarray(nb_has), jnp.asarray(nb_ok),
+            jnp.asarray(fuse_pos), jnp.asarray(fuse_valid),
+            jnp.asarray(fuse_desc), jnp.zeros(C, jnp.int32),
+            self.intrinsics,
         )
-        idx = np.asarray(idx)
-        for j in range(n):
+        out = {k: np.asarray(v) for k, v in out.items()}
+
+        # mint triangulated points (host bookkeeping only)
+        created = []
+        cam = kf.camera_center()
+        for i_nb, other in enumerate(neighbors):
+            idx = out["tri_idx"][i_nb]
+            X = out["tri_X"][i_nb]
+            ok = out["tri_ok"][i_nb]
+            for i in np.nonzero(ok)[0]:
+                j = int(idx[i])
+                if kf.map_point_ids[i] >= 0 or other.map_point_ids[j] >= 0:
+                    continue   # taken by the other neighbor this round
+                p = MapPoint(
+                    X[i].astype(np.float32), kf.feats["desc"][i], kf.id,
+                    int(kf.feats["level"][i]),
+                    float(np.linalg.norm(X[i] - cam)),
+                )
+                self.map.add_point(p)
+                self.map.add_observation(p, kf, int(i))
+                self.map.add_observation(p, other, j)
+                created.append(p.id)
+        if created:
+            self.register_new_points(created, kf.id)
+            self.map.update_covisibility(kf)
+
+        # apply fusion matches
+        idx = out["fuse_idx"]
+        for j in range(n_f):
             if idx[j] < 0:
                 continue
             kp = int(idx[j])
             existing_id = kf.map_point_ids[kp]
             p_new = pts[j]
+            if p_new.bad:
+                continue
             if existing_id < 0:
                 self.map.add_observation(p_new, kf, kp)
             elif existing_id != p_new.id:

@@ -161,4 +161,18 @@ def load_state(path: str) -> Map:
     for p in slam_map.points.values():
         if p.in_any_object and p.object_id in slam_map.objects:
             slam_map.objects[p.object_id].point_ids.add(p.id)
+
+    # fast-forward the class-level id generators past the loaded ids, or a
+    # continued session would mint entities starting at 0 that silently
+    # overwrite loaded map entries
+    import itertools
+
+    for cls, ids in (
+        (KeyFrame, slam_map.keyframes),
+        (MapPoint, slam_map.points),
+        (MapObject, slam_map.objects),
+    ):
+        current = next(cls._ids)          # peek (consumes one id; harmless)
+        floor = max(ids, default=-1) + 1
+        cls._ids = itertools.count(max(current, floor))
     return slam_map

@@ -190,3 +190,186 @@ def test_image_based_out_and_back_consistency():
     assert lost == 0
     pos = np.stack([p.position for p in system.map.points.values()])
     assert np.isfinite(pos).all()
+
+
+def _make_kf(slam_map, step, x_true, drift, groups, lmk_pos, lmk_desc):
+    """One fabricated keyframe at truth x (drifted estimate). `groups` is a
+    list of (cell landmark indices, point-association dict) pairs — separate
+    dicts model drift-broken data association (revisit mints new points)."""
+    T_true = np.eye(4, dtype=np.float32)
+    T_true[0, 3] = -x_true
+    T_est = np.eye(4, dtype=np.float32)
+    T_est[0, 3] = -(x_true + drift)
+    vis_all, dict_of = [], []
+    for cells, pdict in groups:
+        vis = np.asarray(cells, np.int64)
+        _, ok = project(T_true, lmk_pos[vis])
+        for li in vis[ok]:
+            vis_all.append(int(li))
+            dict_of.append(pdict)
+    uv_true, _ = project(T_true, lmk_pos[np.asarray(vis_all, np.int64)])
+    feats = make_feats(uv_true, lmk_desc[np.asarray(vis_all, np.int64)])
+    frame = Frame(float(step), feats)
+    frame.T_cw = T_est
+    kf = KeyFrame(frame)
+    slam_map.add_keyframe(kf)
+    T_wc_est = np.linalg.inv(T_est)
+    for slot, (li, pdict) in enumerate(zip(vis_all[:220], dict_of[:220])):
+        if li in pdict:
+            p = slam_map.points.get(pdict[li])
+            if p is not None:
+                slam_map.add_observation(p, kf, slot)
+            continue
+        x_cam = T_true[:3, :3] @ lmk_pos[li] + T_true[:3, 3]
+        x_world_est = T_wc_est[:3, :3] @ x_cam + T_wc_est[:3, 3]
+        p = MapPoint(x_world_est, lmk_desc[li], kf.id)
+        slam_map.add_point(p)
+        slam_map.add_observation(p, kf, slot)
+        pdict[li] = p.id
+    slam_map.update_covisibility(kf)
+    return kf
+
+
+@pytest.mark.slow
+def test_loop_correction_at_scale_with_objects():
+    """>=200-keyframe loop: a 100 m outbound street A, a distinct 100 m
+    return street B, revisiting street A only at the very end. Checks the
+    round-1 failure modes: the essential graph must move keyframes far
+    OUTSIDE the corrected covisibility group (it was a no-op built from
+    post-correction poses), windowing must include the loop (was
+    sorted()[:cap] = the oldest ids), and object fusion must merge only
+    loop-vs-current duplicates — two parked cars 1.5 m apart survive."""
+    from dspslam_tpu.slam.map import MapObject
+
+    # street A landmarks: cells 0..103; street B: cells 104..207 (same
+    # geometry band, different descriptors -> no cross-street matches)
+    rng = np.random.default_rng(11)
+    lmk_pos, lmk_desc = [], []
+    for cell in range(208):
+        x_base = (cell if cell < 104 else cell - 104) * CELL
+        for _ in range(N_LMK_PER_CELL):
+            lmk_pos.append(np.array(
+                [x_base + rng.uniform(0, 1), rng.uniform(-2, 2),
+                 rng.uniform(6, 10)], np.float32))
+            lmk_desc.append(rng.integers(0, 2**32, 8, dtype=np.uint32))
+    lmk_pos = np.stack(lmk_pos)
+    lmk_desc = np.stack(lmk_desc)
+
+    def cell_lmks(c0, c1):
+        out = []
+        for c in range(max(c0, 0), c1):
+            out.extend(range(c * N_LMK_PER_CELL, (c + 1) * N_LMK_PER_CELL))
+        return out
+
+    slam_map = Map()
+    point_of_lmk: dict[int, int] = {}
+    revisit_points: dict[int, int] = {}
+    DRIFT_RATE = 0.01   # per-step; 2.0 m total at the loop
+    kfs, truth = [], []
+
+    def a_cells(x):   # street A cells around truth x
+        return cell_lmks(int(x), int(x) + 4)
+
+    def b_cells(x):   # street B cells around truth x
+        return cell_lmks(104 + int(x), 104 + int(x) + 4)
+
+    # outbound: steps 0..100 along street A; near the turnaround the
+    # junction's street-B landmarks come into view too (graph continuity)
+    for step in range(101):
+        groups = [(a_cells(step), point_of_lmk)]
+        if step >= 98:
+            groups.append((b_cells(step), point_of_lmk))
+        kf = _make_kf(slam_map, step, float(step), step * DRIFT_RATE, groups,
+                      lmk_pos, lmk_desc)
+        kfs.append(kf)
+        truth.append(float(step))
+    # return: steps 101..194 along street B (fresh points), drift grows;
+    # approaching the revisit junction street A re-enters view, but with a
+    # FRESH association dict — drift broke data association, so revisited
+    # landmarks mint new map points (what makes the loop closure necessary)
+    for step in range(101, 195):
+        x_true = float(201 - step)
+        drift = step * DRIFT_RATE
+        groups = [(b_cells(x_true), point_of_lmk)]
+        if x_true <= 9:
+            groups.append((a_cells(x_true), revisit_points))
+        kf = _make_kf(slam_map, step, x_true, drift, groups,
+                      lmk_pos, lmk_desc)
+        kfs.append(kf)
+        truth.append(x_true)
+    # revisit: steps 195..200 back on street A cells only
+    for step in range(195, 201):
+        x_true = float(201 - step)
+        drift = step * DRIFT_RATE
+        kf = _make_kf(slam_map, step, x_true, drift,
+                      [(a_cells(x_true), revisit_points)],
+                      lmk_pos, lmk_desc)
+        kfs.append(kf)
+        truth.append(x_true)
+
+    # objects: A and B parked 1.5 m apart near the loop region (street A,
+    # outbound); C is A re-detected on the revisit with the drifted pose
+    def add_obj(x_world, observers, drift=0.0):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = x_world + drift
+        obj = MapObject(T, np.zeros(8, np.float32), observers[0].id)
+        for kf in observers:
+            det_idx = len(kf.detections)
+            kf.detections.append(object())   # placeholder, no SE3 edge
+            kf.object_associations[det_idx] = obj.id
+            obj.observations[kf.id] = det_idx
+        slam_map.add_object(obj)
+        return obj
+
+    obj_a = add_obj(2.0, kfs[0:7])
+    obj_b = add_obj(3.5, kfs[1:6])
+    # obj_c: the same parked car re-detected on the revisit, its pose
+    # carrying the accumulated drift of its observers
+    obj_c = add_obj(2.0, kfs[195:201], drift=197 * DRIFT_RATE)
+
+    voc = Vocabulary.train(lmk_desc, branching=6, levels=2, seed=1)
+    closer = LoopCloser(
+        slam_map, voc, [FX, FY, CX, CY, BF], fix_scale=True, min_matches=12
+    )
+    err_before = None
+    for kf in kfs:
+        if closer.insert_keyframe(kf):
+            pass
+        if err_before is None and kf.id == kfs[-7].id:
+            # snapshot the drifted error just before the revisit segment
+            err_before = [
+                abs(-k.T_cw[0, 3] - truth[i]) for i, k in enumerate(kfs)
+                if k.id in slam_map.keyframes
+            ]
+    assert closer.loops_closed >= 1, "revisit did not close a loop"
+
+    # endpoint (drift was 2.0 m) pulled back toward truth
+    end_err = abs(-kfs[-1].T_cw[0, 3] - truth[-1])
+    assert end_err < 0.6, f"endpoint err {end_err}"
+    # FAR TAIL: keyframes deep in the return pass, far outside the final
+    # covisibility group, must move too (regression: essential graph was
+    # a no-op / GBA window was the 32 oldest ids). Pose-graph relaxation
+    # spreads the 2 m loop error over the whole chain, so we assert (a)
+    # the far-tail keyframe actually moved and improved, and (b) the
+    # overall trajectory error shrank substantially.
+    mid = kfs[150]                        # drift at creation: 1.5 m
+    mid_err = abs(-mid.T_cw[0, 3] - truth[150])
+    assert mid_err < 0.5, f"far-tail err {mid_err} (created with 1.5 drift)"
+    err_after = [
+        abs(-k.T_cw[0, 3] - truth[i]) for i, k in enumerate(kfs)
+        if k.id in slam_map.keyframes
+    ]
+    assert sum(err_after) < 0.3 * sum(err_before), (
+        f"trajectory error {sum(err_after):.2f} vs {sum(err_before):.2f}"
+    )
+
+    # two parked cars 1.5 m apart both survive; the loop duplicate fused
+    assert not slam_map.objects[obj_a.id].bad
+    assert not slam_map.objects[obj_b.id].bad
+    assert obj_c.bad and obj_c.replaced_by == obj_a.id, (
+        "revisit duplicate should fuse into the loop-side object"
+    )
+    # fused object ended up near truth
+    assert abs(slam_map.objects[obj_a.id].T_wo[0, 3] - 2.0) < 0.7
+    for kf in kfs:
+        assert np.isfinite(kf.T_cw).all()

@@ -66,3 +66,44 @@ def test_remove_outliers_model():
     mask = cuboid.remove_outliers_model(pts_w, T, verts, margin=0.3)
     assert mask[:30].all()
     assert not mask[30:].any()
+
+
+def test_resume_and_continue_mints_fresh_ids(tmp_path):
+    """Continuing a loaded session must not reuse loaded entity ids
+    (the class-level id counters are fast-forwarded on load)."""
+    from dspslam_tpu.slam.map import Frame, KeyFrame, Map, MapObject, MapPoint
+    from dspslam_tpu.slam.state_io import load_state, save_state
+
+    m = Map()
+    feats = {
+        "xy": np.zeros((4, 2), np.float32),
+        "desc": np.zeros((4, 8), np.uint32),
+        "angle": np.zeros(4, np.float32),
+        "level": np.zeros(4, np.int32),
+        "sigma2": np.ones(4, np.float32),
+        "response": np.zeros(4, np.float32),
+        "valid": np.ones(4, np.float32),
+    }
+    kf = KeyFrame(Frame(0.0, feats))
+    m.add_keyframe(kf)
+    p = MapPoint(np.zeros(3, np.float32), np.zeros(8, np.uint32), kf.id)
+    m.add_point(p)
+    m.add_observation(p, kf, 0)
+    obj = MapObject(np.eye(4, dtype=np.float32), np.zeros(8, np.float32), kf.id)
+    m.add_object(obj)
+    path = str(tmp_path / "state.npz")
+    save_state(m, path)
+
+    loaded = load_state(path)
+    kf2 = KeyFrame(Frame(1.0, feats))
+    p2 = MapPoint(np.ones(3, np.float32), np.zeros(8, np.uint32), kf2.id)
+    obj2 = MapObject(np.eye(4, dtype=np.float32), np.zeros(8, np.float32), kf2.id)
+    assert kf2.id not in loaded.keyframes
+    assert p2.id not in loaded.points
+    assert obj2.id not in loaded.objects
+    loaded.add_keyframe(kf2)
+    loaded.add_point(p2)
+    loaded.add_object(obj2)
+    assert len(loaded.keyframes) == len(m.keyframes) + 1
+    assert len(loaded.points) == len(m.points) + 1
+    assert len(loaded.objects) == len(m.objects) + 1
