@@ -35,6 +35,7 @@ def build_system(system_cfg: cfg_mod.SystemConfig, sequence, enable_objects=True
         fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.baseline_fx,
         width=cam.width, height=cam.height, th_depth=cam.depth_threshold,
         max_frames_between_kf=int(cam.fps),
+        dist_coeffs=(cam.k1, cam.k2, cam.p1, cam.p2, cam.k3),
     )
     orb_params = orb.ORBParams(
         n_features=system_cfg.orb.n_features,

@@ -43,12 +43,16 @@ def main(argv=None):
             args.settings, base=system_cfg
         )
     cam = system_cfg.camera
-    seq = MonoSequence(args.sequence_dir, system_cfg.detection, cam.K)
+    dist = (cam.k1, cam.k2, cam.p1, cam.p2, cam.k3)
+    seq = MonoSequence(
+        args.sequence_dir, system_cfg.detection, cam.K, dist_coeffs=dist
+    )
 
     tracker_cfg = TrackerConfig(
         fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.baseline_fx,
         width=cam.width, height=cam.height,
         max_frames_between_kf=int(cam.fps),
+        dist_coeffs=dist,
     )
     orb_params = orb.ORBParams(
         n_features=system_cfg.orb.n_features,

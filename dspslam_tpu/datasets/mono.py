@@ -17,6 +17,7 @@ import os
 import numpy as np
 
 from ..detect import offline
+from ..frontend import undistort
 from ..objects.detections import Detection, pixel_rays, sample_background_pixels
 from ..utils import io as io_mod
 
@@ -29,8 +30,13 @@ def build_mono_detection(
     bg_stride: float = 4.0,
     max_bg_rays: int = 200,
     mask_erosion: int = 0,
+    dist_coeffs=None,
 ):
-    """Largest-mask detection -> Detection with background rays only."""
+    """Largest-mask detection -> Detection with background rays only.
+
+    Background-ray pixels are undistorted before lifting to rays when
+    lens coefficients are given (reference mono_sequence.py:106-107 uses
+    cv2.undistortPoints on the sampled pixels)."""
     if masks_2d is None or len(masks_2d) == 0:
         return None
     areas = masks_2d.reshape(len(masks_2d), -1).sum(axis=-1)
@@ -45,6 +51,11 @@ def build_mono_detection(
         mask = cv2.erode(mask.astype(np.uint8), kernel).astype(bool)
     bbox = np.asarray(boxes_2d[best][:4])
     bg_px = sample_background_pixels(bbox, mask, bg_stride, max_bg_rays)
+    if len(bg_px) and undistort.has_distortion(dist_coeffs):
+        K = np.linalg.inv(np.asarray(invK, np.float64))
+        bg_px = undistort.undistort_points(
+            bg_px.astype(np.float32), K, dist_coeffs
+        )
     det = Detection(
         T_cam_obj=np.eye(4, dtype=np.float32),
         scale=1.0,
@@ -60,8 +71,10 @@ def build_mono_detection(
 
 
 class MonoSequence:
-    def __init__(self, data_dir: str, detection_cfg, K: np.ndarray):
+    def __init__(self, data_dir: str, detection_cfg, K: np.ndarray,
+                 dist_coeffs=None):
         self.root = data_dir
+        self.dist_coeffs = dist_coeffs
         self.rgb_dir = (
             os.path.join(data_dir, "image_0")
             if os.path.isdir(os.path.join(data_dir, "image_0"))
@@ -98,5 +111,6 @@ class MonoSequence:
             min_mask_area=cfg.min_mask_area,
             bg_stride=cfg.downsample_ratio,
             max_bg_rays=cfg.max_bg_rays,
+            dist_coeffs=self.dist_coeffs,
         )
         return [det] if det is not None else []

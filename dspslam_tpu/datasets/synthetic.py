@@ -103,14 +103,26 @@ class LayeredWorld:
     @staticmethod
     def _texture(rng, h, w):
         """Noise base + distinct-intensity blobs: corner-rich and
-        locally unique (no two blobs look alike to a descriptor)."""
-        img = rng.normal(95.0, 14.0, (h, w)).astype(np.float32)
+        locally unique (no two blobs look alike to a descriptor).
+
+        The result is band-limited with a small separable blur: real
+        images are low-pass filtered by the lens/sensor PSF, and
+        un-band-limited per-pixel noise breaks every subpixel method
+        built on local smoothness (SAD parabola fits land on cusps,
+        and a 1 px misalignment fully decorrelates patches — which is
+        what made ground stereo matching collapse on this fixture)."""
+        img = rng.normal(95.0, 20.0, (h, w)).astype(np.float32)
         n_blobs = max(1, (h * w) // 260)
         ys = rng.integers(0, max(1, h - 10), n_blobs)
         xs = rng.integers(0, max(1, w - 10), n_blobs)
         for y, x in zip(ys, xs):
             s = int(rng.integers(3, 9))
             img[y : y + s, x : x + s] = rng.uniform(25.0, 235.0)
+        k = np.array([0.25, 0.5, 0.25], np.float32)
+        for axis in (0, 1):
+            img = np.apply_along_axis(
+                lambda m: np.convolve(m, k, mode="same"), axis, img
+            )
         return np.clip(img, 0.0, 255.0)
 
     @staticmethod

@@ -17,11 +17,20 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .matcher import BIG, hamming_matrix, TH_HIGH
+from .matcher import BIG, hamming_matrix, TH_HIGH, TH_LOW
 
 _SAD_HALF = 5          # 11x11 window
 _SHIFTS = 5            # +/- shift range for subpixel refinement
+# row-slant hypotheses (px/row) for the SAD: slanted surfaces (ground,
+# walls at an angle) have a disparity GRADIENT across the window —
+# ~bf/(fx*h_cam) ~ 0.33 px/row for an automotive ground plane — which
+# decorrelates a rigid window; evaluating the SAD under a few slants and
+# keeping the best recovers those matches (the reference's rigid window
+# silently loses most ground stereo matches the same way)
+_SLANTS = (-0.4, 0.0, 0.4)
+_SLANT_PAD = 2         # max |round(slant * dy)| over the window
 
 
 def _gather_patch_row(img, x, y, half_w):
@@ -67,39 +76,65 @@ def stereo_match(
     d = jnp.where(cand, dist, BIG)
     best_idx = jnp.argmin(d, axis=1)
     best = jnp.take_along_axis(d, best_idx[:, None], axis=1)[:, 0]
-    ok = best <= TH_HIGH
-    # uniqueness: reject ambiguous rows where the runner-up is nearly as
-    # good (spurious matches otherwise mint wildly wrong depths)
-    d2 = d.at[jnp.arange(d.shape[0]), best_idx].set(BIG)
-    second = jnp.min(d2, axis=1)
-    ok = ok & (best.astype(jnp.float32) < 0.8 * second.astype(jnp.float32))
+    # absolute descriptor gate (the reference's thOrbDist =
+    # (TH_HIGH+TH_LOW)/2, Frame.cc:520); no ratio test — on self-similar
+    # texture (ground, road) a ratio gate starves exactly the near
+    # structure that anchors camera y/z, and the SAD median culling
+    # below is the outlier filter the reference relies on instead
+    ok = best <= (TH_HIGH + TH_LOW) // 2
 
     # subpixel SAD refinement around the matched column (Frame.cc:540-610),
     # as ONE batched gather per image + an unrolled sliding-window SAD —
     # per-keypoint dynamic slices vmapped poorly on TPU (gather storms)
     H, W = img_l.shape
     size = 2 * _SAD_HALF + 1                                  # 11
-    wide = size + 2 * _SHIFTS                                 # 21
+    pad = _SHIFTS + _SLANT_PAD
     yl_i = jnp.clip(yl.astype(jnp.int32), _SAD_HALF, H - _SAD_HALF - 1)
     xl_i = jnp.clip(xl.astype(jnp.int32), _SAD_HALF, W - _SAD_HALF - 1)
     xr_i = jnp.clip(
-        xr[best_idx].astype(jnp.int32), _SAD_HALF + _SHIFTS,
-        W - _SAD_HALF - _SHIFTS - 1,
+        xr[best_idx].astype(jnp.int32), _SAD_HALF + pad,
+        W - _SAD_HALF - pad - 1,
     )
     dy = jnp.arange(-_SAD_HALF, _SAD_HALF + 1)
     dxl = jnp.arange(-_SAD_HALF, _SAD_HALF + 1)
-    dxw = jnp.arange(-_SAD_HALF - _SHIFTS, _SAD_HALF + _SHIFTS + 1)
+    dxw = jnp.arange(-_SAD_HALF - pad, _SAD_HALF + pad + 1)
     rows = yl_i[:, None, None] + dy[None, :, None]            # (N, 11, 1)
     patch_l = img_l[rows, xl_i[:, None, None] + dxl[None, None, :]]   # (N, 11, 11)
-    patch_r = img_r[rows, xr_i[:, None, None] + dxw[None, None, :]]   # (N, 11, 21)
-    sads = jnp.stack(
+    patch_r = img_r[rows, xr_i[:, None, None] + dxw[None, None, :]]   # (N, 11, 11+2*pad)
+    # per-row sliding SADs once, then compose shift x slant from them
+    n_j = 2 * pad + 1
+    rowsad = jnp.stack(
         [
-            jnp.sum(jnp.abs(patch_l - patch_r[:, :, s : s + size]), axis=(1, 2))
-            for s in range(2 * _SHIFTS + 1)
+            jnp.sum(jnp.abs(patch_l - patch_r[:, :, j : j + size]), axis=2)
+            for j in range(n_j)
         ],
         axis=-1,
+    )                                                          # (N, 11, n_j)
+    dy_np = np.arange(-_SAD_HALF, _SAD_HALF + 1)
+    per_slant = []
+    for slope in _SLANTS:
+        offs = np.clip(
+            np.round(slope * dy_np).astype(np.int64), -_SLANT_PAD, _SLANT_PAD
+        )
+        s = jnp.stack(
+            [
+                sum(
+                    rowsad[:, r, k + _SLANT_PAD + int(offs[r])]
+                    for r in range(size)
+                )
+                for k in range(2 * _SHIFTS + 1)
+            ],
+            axis=-1,
+        )
+        per_slant.append(s)
+    sads = jnp.minimum(
+        jnp.minimum(per_slant[0], per_slant[1]), per_slant[2]
     )                                                          # (N, 11)
     k = jnp.argmin(sads, axis=-1)
+    # a minimum AT the search boundary means the true optimum is outside
+    # the window — the parabola extrapolates garbage disparity; reject,
+    # as the reference does (Frame.cc:592-594 "bestincR==-L || ==L")
+    ok = ok & (k > 0) & (k < 2 * _SHIFTS)
     k_in = jnp.clip(k, 1, 2 * _SHIFTS - 1)
     take = lambda off: jnp.take_along_axis(
         sads, (k_in + off)[:, None], axis=1
@@ -107,7 +142,16 @@ def stereo_match(
     sm1, s0, sp1 = take(-1), take(0), take(1)
     denom = sm1 + sp1 - 2.0 * s0
     delta = jnp.where(jnp.abs(denom) > 1e-6, (sm1 - sp1) / (2.0 * denom), 0.0)
+    # |delta| > 1 means the parabola disagrees with the discrete argmin —
+    # an unreliable fit (reference rejects: Frame.cc:602-604)
+    ok = ok & (jnp.abs(delta) <= 1.0)
     delta = jnp.clip(delta, -1.0, 1.0)
+    # median-SAD outlier culling (Frame.cc:614-640): wrong matches have
+    # anomalously poor photometric agreement even when descriptors agree
+    sad_best = s0
+    valid_sad = jnp.where(ok, sad_best, jnp.nan)
+    med = jnp.nanmedian(valid_sad)
+    ok = ok & (sad_best <= 1.5 * 1.4 * jnp.where(jnp.isnan(med), jnp.inf, med))
     u_right = (
         xr[best_idx] + (k_in - _SHIFTS).astype(jnp.float32) + delta
     )

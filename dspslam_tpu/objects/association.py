@@ -103,21 +103,77 @@ def associate_by_map_point_votes(
     return out
 
 
-def classify_motion(
-    obj, T_co_measured: np.ndarray, T_cw: np.ndarray, frame_gap: float,
-    translation_thresh: float = 1.0,
+def _log_se3_norm(T: np.ndarray) -> float:
+    """|| log(T) || for a 4x4 SE(3) matrix (host numpy; the measurement
+    gate of LocalMapping_util.cc:115 uses the g2o SE3Quat log norm)."""
+    R = T[:3, :3]
+    cos_theta = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = float(np.arccos(cos_theta))
+    if theta < 1e-6:
+        return float(np.linalg.norm(T[:3, 3]))
+    if theta > np.pi - 1e-3:
+        # R - R.T degenerates near pi; take the axis from the dominant
+        # diagonal of (R + I)/2 = axis axis^T
+        a2 = np.clip((np.diag(R) + 1.0) / 2.0, 0.0, 1.0)
+        w = theta * np.sqrt(a2)
+    else:
+        w_hat = (R - R.T) * (theta / (2.0 * np.sin(theta)))
+        w = np.array([w_hat[2, 1], w_hat[0, 2], w_hat[1, 0]])
+    # V^-1 t with the standard closed form
+    half = theta / 2.0
+    k = (1.0 - half / np.tan(half)) / (theta * theta)
+    wx = np.array(
+        [[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]]
+    )
+    Vinv = np.eye(3) - 0.5 * wx + k * (wx @ wx)
+    rho = Vinv @ T[:3, 3]
+    return float(np.sqrt(np.dot(rho, rho) + np.dot(w, w)))
+
+
+# measurement classification outcomes (GetNewObservations,
+# LocalMapping_util.cc:117-151)
+STATIC_MEASUREMENT = "static"       # keep SE3 measurement for BA
+DYNAMIC_UPDATE = "dynamic"          # moved: update pose + velocity
+DISASSOCIATE = "disassociate"       # mature object jumped: false match
+
+
+def classify_measurement(
+    obj, T_co_measured: np.ndarray, T_cw: np.ndarray,
+    translation_thresh: float = 1.0, log_thresh: float = 1.5,
 ):
-    """Static/dynamic classification from the pose-only GN result
-    (LocalMapping::GetNewObservations, LocalMapping_util.cc:117-151):
-    if the newly measured object center moved more than `thresh` against
-    the map prediction, flag dynamic and update the velocity estimate."""
-    T_wc = np.linalg.inv(T_cw)
-    two_measured = (T_wc @ T_co_measured)[:3, 3]
-    two_map = obj.T_wo[:3, 3]
-    motion = two_measured - two_map
-    dist = float(np.linalg.norm(motion))
-    if dist > translation_thresh:
-        obj.dynamic = True
-        obj.velocity = motion / max(frame_gap, 1e-6)
-        return True
-    return False
+    """Classify a pose-only GN measurement against the map prediction
+    (LocalMapping::GetNewObservations, LocalMapping_util.cc:100-151):
+
+    * already-dynamic object -> DYNAMIC_UPDATE always (track it);
+    * static object whose measured camera-frame (x, z) motion < 1 m AND
+      whose SE(3) log error < 1.5 -> STATIC_MEASUREMENT;
+    * large change on a young object (<= 2 observations) -> it was
+      probably never static: DYNAMIC_UPDATE;
+    * large change on a mature object -> false association: DISASSOCIATE.
+    """
+    T_co_init = T_cw @ obj.T_wo_se3
+    d3 = T_co_measured[:3, 3] - T_co_init[:3, 3]
+    dist2d = float(np.hypot(d3[0], d3[2]))
+    log_err = _log_se3_norm(np.linalg.inv(T_co_init) @ T_co_measured)
+    if obj.dynamic:
+        return DYNAMIC_UPDATE
+    if dist2d < translation_thresh and log_err < log_thresh:
+        return STATIC_MEASUREMENT
+    if len(obj.observations) <= 2:
+        return DYNAMIC_UPDATE
+    return DISASSOCIATE
+
+
+def update_dynamic_object(obj, T_co_measured: np.ndarray, T_cw: np.ndarray,
+                          frame_gap: float):
+    """Move a dynamic object to its measured pose and re-estimate the
+    constant-velocity model (LocalMapping_util.cc:117-124). Velocity is
+    kept in the WORLD frame in meters/frame — the association predictor
+    adds `velocity * frames_since_last_kf` to the world centroid
+    (Tracking_util.cc:108-110); the reference stores the object-frame log
+    translation instead, which only agrees for small rotations, so we use
+    the frame the predictor actually consumes."""
+    T_wo_new = np.linalg.inv(T_cw) @ T_co_measured
+    motion = T_wo_new[:3, 3] - obj.T_wo_se3[:3, 3]
+    obj.velocity = (motion / max(frame_gap, 1.0)).astype(np.float32)
+    obj.set_pose_se3(T_wo_new.astype(np.float32))

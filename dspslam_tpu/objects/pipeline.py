@@ -55,6 +55,11 @@ class ObjectPipeline:
         self.mesher = mesh_mod.MeshExtractor(
             decoder_fn, decoder_params, gn_config.code_len, voxels_dim
         )
+        # frame id of the previously processed keyframe: the dynamic
+        # association predictor and velocity estimates work in
+        # meters/FRAME over the actual keyframe gap (Tracking_util.cc:107,
+        # LocalMapping_util.cc:119-121)
+        self.last_kf_frame_id: int | None = None
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf, local_kf_ids: list[int]):
@@ -67,22 +72,27 @@ class ObjectPipeline:
         programs (pose-only for associated, joint recon for new) without
         fetching — callers overlap other device work before
         apply_keyframe fetches the results."""
+        frame_gap = (
+            float(kf.frame_id - self.last_kf_frame_id)
+            if self.last_kf_frame_id is not None else 1.0
+        )
+        self.last_kf_frame_id = kf.frame_id
         if not kf.detections:
             return None
         local_objects = self._local_objects(local_kf_ids)
         assoc, new_idx, bad_idx = association.associate_detections_centroid(
-            kf, local_objects, kf.T_cw
+            kf, local_objects, kf.T_cw, frame_gap=max(frame_gap, 1.0)
         )
         measured = self._dispatch_measure(kf, assoc)
         recon = self._dispatch_recon(
             kf, [i for i in new_idx if i not in bad_idx]
         )
-        return measured, recon
+        return measured, recon, frame_gap
 
     def apply_keyframe(self, kf, pending):
         if pending is not None:
-            measured, recon = pending
-            self._apply_measure(kf, measured)
+            measured, recon, frame_gap = pending
+            self._apply_measure(kf, measured, frame_gap)
             self._apply_recon(kf, recon)
         self._cull_objects(kf)
 
@@ -135,7 +145,10 @@ class ObjectPipeline:
         )
         return entries, out
 
-    def _apply_measure(self, kf, pending):
+    def _apply_measure(self, kf, pending, frame_gap: float = 1.0):
+        """Apply the batched pose-only GN results with the reference's
+        static/dynamic/false-association triage (GetNewObservations,
+        LocalMapping_util.cc:100-151)."""
         if pending is None:
             return
         entries, out = pending
@@ -145,13 +158,24 @@ class ObjectPipeline:
             T_co = t_all[i]
             if not np.all(np.isfinite(T_co)):
                 continue
-            kf.detections[det_idx].T_co_se3_measured = T_co
-            moved = association.classify_motion(
-                obj, T_co, kf.T_cw, frame_gap=1.0
-            )
-            if not moved:
+            verdict = association.classify_measurement(obj, T_co, kf.T_cw)
+            if verdict == association.STATIC_MEASUREMENT:
+                kf.detections[det_idx].T_co_se3_measured = T_co
                 # refine the map object's SE3 pose from this measurement
                 obj.set_pose_se3((T_wc @ T_co).astype(np.float32))
+            elif verdict == association.DYNAMIC_UPDATE:
+                if not obj.dynamic:
+                    obj.dynamic = True
+                    self.map.n_dynamic_objects += 1
+                association.update_dynamic_object(
+                    obj, T_co, kf.T_cw, frame_gap
+                )
+            else:  # DISASSOCIATE: a mature static object jumped — the
+                # centroid gate matched the wrong object
+                # (LocalMapping_util.cc:144-149)
+                kf.object_associations.pop(det_idx, None)
+                obj.observations.pop(kf.id, None)
+                continue
             obj.n_observed += 1
 
     # ------------------------------------------------------------------
@@ -237,9 +261,18 @@ class ObjectPipeline:
     # ------------------------------------------------------------------
     def _cull_objects(self, kf):
         """Drop stale low-evidence objects (MapObjectCulling rules,
-        LocalMapping_util.cc:29-82)."""
+        LocalMapping_util.cc:29-82). Dynamic objects must be re-observed
+        continuously: unseen for >= 2 keyframes -> culled and the map's
+        dynamic counter decremented (LocalMapping_util.cc:41-48, 66-80)."""
         for obj in list(self.map.objects.values()):
-            if obj.bad or obj.dynamic:
+            if obj.bad:
+                continue
+            if obj.dynamic:
+                newest = max(obj.observations) if obj.observations \
+                    else obj.ref_kf_id
+                if kf.id - newest >= 2:
+                    self.map.erase_object(obj.id)
+                    self.map.n_dynamic_objects -= 1
                 continue
             age = kf.id - obj.ref_kf_id
             if age >= CULL_WINDOW_KFS and len(obj.observations) < CULL_MIN_OBS:

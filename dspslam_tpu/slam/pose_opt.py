@@ -75,7 +75,7 @@ def _residuals_and_jac(T_cw, pts_w, obs, stereo_mask, fx, fy, cx, cy, bf):
     return res, J
 
 
-@partial(jax.jit, static_argnums=(8,))
+@partial(jax.jit, static_argnums=(8, 9))
 def optimize_pose(
     T_cw_init: jnp.ndarray,   # (4, 4)
     pts_w: jnp.ndarray,       # (N, 3) matched map points
@@ -86,15 +86,22 @@ def optimize_pose(
     intrinsics: jnp.ndarray,  # (5,) [fx, fy, cx, cy, bf]
     damping: float = 1e-3,
     rounds_iters: tuple = (4, 10),
+    chi2_anneal: tuple = (1.0, 1.0, 1.0, 1.0),
 ):
     """Returns (T_cw, inlier_mask (N,), n_inliers). 4x10 GN with per-round
-    chi2 outlier reclassification, mirroring the reference schedule."""
+    chi2 outlier reclassification, mirroring the reference schedule.
+    chi2_anneal optionally scales the chi2 threshold per round
+    (first->last); the default is the reference's constant threshold."""
     fx, fy, cx, cy, bf = [intrinsics[i] for i in range(5)]
     rounds, iters = rounds_iters
 
-    chi2_th = jnp.where(stereo_mask > 0, CHI2_STEREO, CHI2_MONO)  # (N,)
+    chi2_base = jnp.where(stereo_mask > 0, CHI2_STEREO, CHI2_MONO)  # (N,)
+    anneal = jnp.asarray(
+        tuple(chi2_anneal) + (1.0,) * max(0, rounds - len(chi2_anneal)),
+        jnp.float32,
+    )
 
-    def gn_iters(T, inlier):
+    def gn_iters(T, inlier, chi2_th):
         def body(_, T):
             res, J = _residuals_and_jac(
                 T, pts_w, obs, stereo_mask, fx, fy, cx, cy, bf
@@ -115,9 +122,10 @@ def optimize_pose(
 
         return jax.lax.fori_loop(0, iters, body, T)
 
-    def round_body(_, state):
+    def round_body(r, state):
         T, inlier = state
-        T = gn_iters(T, inlier)
+        chi2_th = chi2_base * anneal[r]
+        T = gn_iters(T, inlier, chi2_th)
         res, _ = _residuals_and_jac(T, pts_w, obs, stereo_mask, fx, fy, cx, cy, bf)
         chi2 = jnp.sum(res * res, axis=-1) * inv_sigma2
         inlier = (chi2 <= chi2_th).astype(jnp.float32) * valid

@@ -53,6 +53,11 @@ class TrackerConfig:
     min_inliers: int = 10
     search_radius_motion: float = 15.0
     search_radius_local: float = 5.0
+    # plumb-bob lens coefficients (k1, k2, p1, p2, k3); keypoints are
+    # undistorted once per frame when any is nonzero
+    # (Frame::UndistortKeyPoints, reference src/Frame.cc:405-434).
+    # Stereo input must be rectified (reference asserts the same).
+    dist_coeffs: tuple = (0.0, 0.0, 0.0, 0.0, 0.0)
 
     @property
     def intrinsics(self):
@@ -248,11 +253,14 @@ class Tracker:
                      timestamp: float) -> Frame:
         feats_j = orb.extract(jnp.asarray(img, jnp.float32), self.orb_params)
         feats = {k: np.asarray(v) for k, v in feats_j.items()}
+        # depth lookup uses RAW pixel coords (the sensor image); geometry
+        # downstream uses undistorted coords (Frame::ComputeStereoFromRGBD)
         xy = feats["xy"].astype(np.int32)
         xs = np.clip(xy[:, 0], 0, depth.shape[1] - 1)
         ys = np.clip(xy[:, 1], 0, depth.shape[0] - 1)
         d = depth[ys, xs].astype(np.float32)
         d = np.where(feats["valid"] > 0, d, -1.0)
+        self._undistort_feats(feats)
         ur = np.where(d > 0, feats["xy"][:, 0] - self.cfg.bf / np.maximum(d, 1e-6), -1.0)
         frame = Frame(timestamp, feats, depth=d, u_right=ur)
         self._track(frame)
@@ -261,9 +269,25 @@ class Tracker:
     def process_mono(self, img: np.ndarray, timestamp: float) -> Frame:
         feats_j = orb.extract(jnp.asarray(img, jnp.float32), self.orb_params)
         feats = {k: np.asarray(v) for k, v in feats_j.items()}
+        self._undistort_feats(feats)
         frame = Frame(timestamp, feats)
         self._track(frame, mono=True)
         return frame
+
+    def _undistort_feats(self, feats):
+        """Replace raw keypoint pixels with undistorted ones in-place
+        (Frame::UndistortKeyPoints). No-op for zero coefficients."""
+        from ..frontend import undistort as und
+
+        if not und.has_distortion(self.cfg.dist_coeffs):
+            return
+        K = np.array(
+            [[self.cfg.fx, 0, self.cfg.cx], [0, self.cfg.fy, self.cfg.cy],
+             [0, 0, 1.0]], np.float64,
+        )
+        feats["xy"] = und.undistort_points(
+            feats["xy"], K, self.cfg.dist_coeffs
+        )
 
     # ------------------------------------------------------------------
     def _track(self, frame: Frame, mono: bool = False):

@@ -34,20 +34,55 @@ def make_detection(t_cam, n_pts=100):
 
 
 class TestMotionClassification:
-    def test_static_object_not_flagged(self):
+    def test_static_object_small_motion(self):
         obj = MapObject(np.eye(4, dtype=np.float32), np.zeros(8), 0)
         T_co = np.eye(4, dtype=np.float32)
         T_co[:3, 3] = [0.05, 0.0, 0.02]          # 5 cm apparent motion
-        moved = association.classify_motion(obj, T_co, np.eye(4, dtype=np.float32), 1.0)
-        assert not moved and not obj.dynamic
+        v = association.classify_measurement(
+            obj, T_co, np.eye(4, dtype=np.float32)
+        )
+        assert v == association.STATIC_MEASUREMENT
 
-    def test_moving_object_flagged_with_velocity(self):
+    def test_young_moving_object_goes_dynamic(self):
         obj = MapObject(np.eye(4, dtype=np.float32), np.zeros(8), 0)
+        obj.observations = {0: 0}                # young: <= 2 observations
         T_co = np.eye(4, dtype=np.float32)
         T_co[:3, 3] = [2.0, 0.0, 0.5]            # 2+ m jump
-        moved = association.classify_motion(obj, T_co, np.eye(4, dtype=np.float32), 2.0)
-        assert moved and obj.dynamic
+        v = association.classify_measurement(
+            obj, T_co, np.eye(4, dtype=np.float32)
+        )
+        assert v == association.DYNAMIC_UPDATE
+        association.update_dynamic_object(
+            obj, T_co, np.eye(4, dtype=np.float32), frame_gap=2.0
+        )
         np.testing.assert_allclose(obj.velocity, [1.0, 0.0, 0.25], atol=1e-6)
+        np.testing.assert_allclose(obj.T_wo[:3, 3], [2.0, 0.0, 0.5], atol=1e-6)
+
+    def test_mature_object_jump_disassociates(self):
+        """A big jump on a well-observed static object is a false
+        association, not a dynamic flip (LocalMapping_util.cc:144-149)."""
+        obj = MapObject(np.eye(4, dtype=np.float32), np.zeros(8), 0)
+        obj.observations = {0: 0, 1: 0, 2: 0}
+        T_co = np.eye(4, dtype=np.float32)
+        T_co[:3, 3] = [2.0, 0.0, 0.5]
+        v = association.classify_measurement(
+            obj, T_co, np.eye(4, dtype=np.float32)
+        )
+        assert v == association.DISASSOCIATE
+
+    def test_rotation_only_jump_caught_by_log_gate(self):
+        """Translation small but orientation flipped: the SE(3) log-norm
+        gate (LocalMapping_util.cc:115, ||log|| < 1.5) must reject it."""
+        obj = MapObject(np.eye(4, dtype=np.float32), np.zeros(8), 0)
+        obj.observations = {0: 0, 1: 0, 2: 0}
+        T_co = np.eye(4, dtype=np.float32)
+        T_co[:3, :3] = np.array(
+            [[-1, 0, 0], [0, 1, 0], [0, 0, -1]], np.float32
+        )  # 180 deg yaw
+        v = association.classify_measurement(
+            obj, T_co, np.eye(4, dtype=np.float32)
+        )
+        assert v == association.DISASSOCIATE
 
 
 class TestDynamicAssociation:
@@ -91,6 +126,90 @@ class TestDynamicAssociation:
         )
         assert assoc == {1: obj}
         assert 0 in new_idx
+
+
+class TestPerFrameGapAssociation:
+    def test_fast_mover_stays_associated_across_10_frame_gap(self):
+        """VERDICT #8 acceptance: an object moving 0.5 m/frame stays
+        associated when keyframes are 10 frames apart, because the
+        association predictor advances the centroid by velocity *
+        (frames since the last keyframe) (Tracking_util.cc:107-110)."""
+        from dspslam_tpu.models import deepsdf
+        from dspslam_tpu.objects.pipeline import ObjectPipeline
+        from dspslam_tpu.shape import gn
+
+        m = Map()
+        pipe = ObjectPipeline(
+            m, deepsdf.sphere_decoder_fn,
+            deepsdf.make_sphere_params(code_len=8),
+            gn.GNConfig(code_len=8, num_iterations=2,
+                        pose_only_iterations=3),
+            max_detections=4, max_surface_points=64, max_rays=32,
+            extract_meshes=False,
+        )
+        T_wo = np.eye(4, dtype=np.float32)
+        T_wo[:3, 3] = [0.0, 0.0, 10.0]
+        obj = MapObject(T_wo, np.zeros(8, np.float32), 0)
+        obj.dynamic = True
+        obj.velocity = np.array([0.5, 0.0, 0.0], np.float32)
+        m.add_object(obj)
+        m.n_dynamic_objects = 1
+
+        kf0 = make_kf()
+        kf0.frame_id = 100
+        m.add_keyframe(kf0)
+        kf0.object_associations[0] = obj.id
+        obj.observations[kf0.id] = 0
+        pipe.last_kf_frame_id = 100
+
+        # 10 frames later: the object has moved 5 m — outside the raw
+        # 5 m gate, inside it after constant-velocity prediction
+        kf1 = make_kf()
+        kf1.frame_id = 110
+        m.add_keyframe(kf1)
+        rng = np.random.default_rng(0)
+        dirs = rng.normal(size=(64, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        center = np.array([5.0, 0.0, 10.0], np.float32)
+        det = make_detection(center, n_pts=64)
+        det.surface_points = center + 0.5 * dirs
+        kf1.detections = [det]
+
+        pending = pipe.dispatch_keyframe(kf1, [kf0.id, kf1.id])
+        assert kf1.object_associations.get(0) == obj.id, \
+            "fast mover lost across the keyframe gap"
+        pipe.apply_keyframe(kf1, pending)
+        # the dynamic update moved the object to the measured position
+        # and re-estimated velocity over the TRUE 10-frame gap
+        np.testing.assert_allclose(obj.T_wo[:3, 3], center, atol=0.15)
+        np.testing.assert_allclose(
+            obj.velocity, [0.5, 0.0, 0.0], atol=0.02
+        )
+        assert m.n_dynamic_objects == 1
+
+    def test_dynamic_object_culled_when_unobserved(self):
+        from dspslam_tpu.models import deepsdf
+        from dspslam_tpu.objects.pipeline import ObjectPipeline
+        from dspslam_tpu.shape import gn
+
+        m = Map()
+        pipe = ObjectPipeline(
+            m, deepsdf.sphere_decoder_fn,
+            deepsdf.make_sphere_params(code_len=8),
+            gn.GNConfig(code_len=8, num_iterations=2),
+            extract_meshes=False,
+        )
+        obj = MapObject(np.eye(4, dtype=np.float32), np.zeros(8), 0)
+        obj.dynamic = True
+        m.add_object(obj)
+        m.n_dynamic_objects = 1
+        obj.observations = {0: 0}
+        kf = make_kf()
+        while kf.id < 3:   # ensure kf.id - newest_obs >= 2
+            kf = make_kf()
+        m.add_keyframe(kf)
+        pipe.apply_keyframe(kf, None)
+        assert obj.bad and m.n_dynamic_objects == 0
 
 
 class TestBAExclusion:
