@@ -1,15 +1,28 @@
-"""Headline benchmark: per-object 10-iteration Gauss-Newton reconstruction.
+"""Headline benchmark: end-to-end SLAM throughput + per-object GN latency.
 
-The reference's hottest call (reconstruct/optimizer.py:88-203, "HOTTEST
-single call" SURVEY.md §3.3) with the full-scale DeepSDF decoder
-(64-code, 8x512, latent-in) at reference caps: 256 surface points, 512
-rays, 50 depth samples, 10 GN iterations. We batch a keyframe's worth of
-objects (B=8) into one device program and report per-object latency.
+Two numbers, one JSON line:
 
-Baseline: <=50 ms/object on one TPU v5e (BASELINE.md rebuild target).
-Prints one JSON line; vs_baseline > 1 means faster than the target.
+* slam_fps_end_to_end — the reference's headline claim ("can operate at
+  10 frames per second", README.md:3): the FULL object-aware stereo
+  pipeline (ORB x2, stereo depth, projection matching, motion-only GN,
+  keyframing, local mapping with joint BA, per-keyframe object GN +
+  meshes) over a synthetic KITTI-resolution sequence, measured as wall
+  clock around the per-frame track call (dsp_slam.cc:76-115 timing).
+  This is the `value`/`vs_baseline` headline; baseline 10 fps.
+
+* gn_recon_ms_per_object — the reference's hottest single call
+  (reconstruct/optimizer.py:88-203): 10-iteration joint Sim(3)+code GN
+  with the full-scale DeepSDF decoder (64-code, 8x512, latent-in) at
+  reference caps (256 surface points, 512 rays, 50 depth samples),
+  batched 8 objects per program. Reported as extra keys; rebuild target
+  <=50 ms/object (BASELINE.md).
+
+NOTE (axon TPU): block_until_ready does not await remote execution —
+all timing syncs use device->host fetches.
 """
 
+import contextlib
+import io
 import json
 import time
 
@@ -18,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
+def bench_gn():
     from dspslam_tpu.models import deepsdf
     from dspslam_tpu.shape import gn
 
@@ -53,11 +66,8 @@ def main():
     )
 
     run = gn.batched_reconstruct(decoder_fn, gn_cfg)
-    # warmup / compile. NOTE: on the axon TPU backend block_until_ready
-    # does not await remote execution; a device->host fetch does, so we
-    # sync by materializing the loss.
     out = run(*args)
-    np.asarray(out["loss"])
+    np.asarray(out["loss"])  # warmup/compile + sync
 
     iters = 10
     t0 = time.perf_counter()
@@ -65,16 +75,30 @@ def main():
         out = run(*args)
     np.asarray(out["loss"])
     elapsed = time.perf_counter() - t0
+    return elapsed / iters / B * 1e3
 
-    ms_per_object = elapsed / iters / B * 1e3
-    baseline_ms = 50.0
+
+def bench_slam_fps(frames: int = 24):
+    from dspslam_tpu.apps import benchmark_slam
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fps = benchmark_slam.main(["--frames", str(frames)])
+    return float(fps)
+
+
+def main():
+    fps = bench_slam_fps()
+    gn_ms = bench_gn()
     print(
         json.dumps(
             {
-                "metric": "gn_recon_ms_per_object",
-                "value": round(ms_per_object, 3),
-                "unit": "ms",
-                "vs_baseline": round(baseline_ms / ms_per_object, 3),
+                "metric": "slam_fps_end_to_end",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 10.0, 3),
+                "gn_recon_ms_per_object": round(gn_ms, 3),
+                "gn_vs_baseline_50ms": round(50.0 / gn_ms, 3),
             }
         )
     )

@@ -259,6 +259,33 @@ def roi_align(feat, boxes, out_size):
     return jax.vmap(one)(boxes)
 
 
+def fpn_level_of(boxes: jnp.ndarray) -> jnp.ndarray:
+    """mmdet's FPN RoI level assignment: floor(4 + log2(sqrt(w*h)/224)),
+    clamped to P2..P5 -> returned as index 0..3 into [P2, P3, P4, P5]."""
+    w = boxes[:, 2] - boxes[:, 0]
+    h = boxes[:, 3] - boxes[:, 1]
+    scale = jnp.sqrt(jnp.maximum(w * h, 1e-6))
+    lvl = jnp.floor(4.0 + jnp.log2(scale / 224.0 + 1e-8))
+    return (jnp.clip(lvl, 2.0, 5.0) - 2.0).astype(jnp.int32)
+
+
+def roi_align_fpn(feats, boxes, out_size, strides=(4, 8, 16, 32)):
+    """Multi-level RoIAlign: each box samples the FPN level matching its
+    scale (small boxes -> fine P2, large -> coarse P5). Fixed-shape TPU
+    formulation: align against ALL four levels and one-hot-select —
+    boxes are few (~100) so the 4x over-compute is cheaper than any
+    gather/scatter shape gymnastics."""
+    lvl = fpn_level_of(boxes)                              # (N,)
+    outs = jnp.stack(
+        [
+            roi_align(feats[i][0], boxes / strides[i], out_size)
+            for i in range(4)
+        ]
+    )                                                      # (4, N, C, o, o)
+    onehot = jax.nn.one_hot(lvl, 4, axis=0)                # (4, N)
+    return jnp.einsum("ln,lncij->ncij", onehot, outs)
+
+
 # ---------------------------------------------------------------------------
 # full forward
 
@@ -299,10 +326,9 @@ def detect(params, img, image_hw: tuple, cfg: MaskRCNNConfig):
         rpn_boxes, rpn_scores, cfg.rpn_post_nms, cfg.rpn_nms_iou
     )
 
-    # box head on P2 (single-level RoIAlign keeps the program simple; the
-    # FPN level-assignment refinement is an accuracy detail)
-    roi_feat = roi_align(
-        feats[0][0], proposals / strides[0], cfg.roi_size
+    # box head with FPN level assignment (mmdet SingleRoIExtractor)
+    roi_feat = roi_align_fpn(
+        feats, proposals, cfg.roi_size
     )                                                     # (N, C, 7, 7)
     flat = roi_feat.reshape(roi_feat.shape[0], -1)
     h1 = jnp.maximum(flat @ params["fc1"]["w"] + params["fc1"]["b"], 0.0)
@@ -327,10 +353,8 @@ def detect(params, img, image_hw: tuple, cfg: MaskRCNNConfig):
     match = jnp.argmax(iou_matrix(kept_boxes, boxes), axis=1)
     kept_labels = best_cls[match]
 
-    # mask head
-    mroi = roi_align(
-        feats[0][0], kept_boxes / strides[0], cfg.mask_roi_size
-    )
+    # mask head (same level assignment as the box head)
+    mroi = roi_align_fpn(feats, kept_boxes, cfg.mask_roi_size)
     h = mroi
     for cp in params["mask_convs"]:
         h = jnp.maximum(_conv2d(h, cp), 0.0)

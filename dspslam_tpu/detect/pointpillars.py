@@ -94,27 +94,39 @@ def pillarize(points: np.ndarray, cfg: PointPillarsConfig):
     feats = np.zeros((P, M, 10), np.float32)
     mask = np.zeros((P, M), np.float32)
     coords = np.zeros((P, 2), np.int32)
-    fill = np.zeros(P, np.int64)
     coords[: len(order), 0] = (uniq[order] % nx).astype(np.int32)
     coords[: len(order), 1] = (uniq[order] // nx).astype(np.int32)
-    for i in np.argsort(slots):                 # grouped by slot
-        s = slots[i]
-        if s < 0 or fill[s] >= M:
-            continue
-        feats[s, fill[s], :4] = pts[i, :4]
-        mask[s, fill[s]] = 1.0
-        fill[s] += 1
-    pillar_mask = (fill > 0).astype(np.float32)
+    # vectorized fill: sort points by slot, rank each point within its
+    # slot via searchsorted, scatter the first M per slot (the per-point
+    # Python loop here took seconds on a 120k-point scan)
+    pt_order = np.argsort(slots, kind="stable")
+    ss = slots[pt_order]
+    ranks = np.arange(len(ss)) - np.searchsorted(ss, ss)
+    sel = (ss >= 0) & (ranks < M)
+    s_idx = ss[sel]
+    r_idx = ranks[sel]
+    p_sel = pts[pt_order[sel]]
+    feats[s_idx, r_idx, :4] = p_sel[:, :4]
+    mask[s_idx, r_idx] = 1.0
+    n_per = np.bincount(s_idx, minlength=P).astype(np.float32)
+    pillar_mask = (n_per > 0).astype(np.float32)
 
-    # centroid / center offsets
-    n = np.maximum(mask.sum(axis=1, keepdims=True), 1.0)
-    centroid = (feats[:, :, :3] * mask[..., None]).sum(axis=1, keepdims=True) / n[..., None]
-    feats[:, :, 4:7] = (feats[:, :, :3] - centroid) * mask[..., None]
-    cx = coords[:, 0:1] * vx + x0 + vx / 2.0
-    cy = coords[:, 1:2] * vy + y0 + vy / 2.0
-    feats[:, :, 7] = (feats[:, :, 0] - cx) * mask
-    feats[:, :, 8] = (feats[:, :, 1] - cy) * mask
-    feats[:, :, 9] = (feats[:, :, 2] - cfg.anchor_z) * mask
+    # centroid / center offsets, computed sparsely over the kept points
+    # (dense (P, M) broadcasting was the remaining host-time hotspot)
+    denom = np.maximum(n_per, 1.0)
+    cent = np.stack(
+        [
+            np.bincount(s_idx, weights=p_sel[:, c], minlength=P) / denom
+            for c in range(3)
+        ],
+        axis=-1,
+    ).astype(np.float32)                                       # (P, 3)
+    feats[s_idx, r_idx, 4:7] = p_sel[:, :3] - cent[s_idx]
+    cx = coords[:, 0] * vx + x0 + vx / 2.0
+    cy = coords[:, 1] * vy + y0 + vy / 2.0
+    feats[s_idx, r_idx, 7] = p_sel[:, 0] - cx[s_idx]
+    feats[s_idx, r_idx, 8] = p_sel[:, 1] - cy[s_idx]
+    feats[s_idx, r_idx, 9] = p_sel[:, 2] - cfg.anchor_z
     return {
         "features": feats, "mask": mask, "coords": coords,
         "pillar_mask": pillar_mask,
@@ -254,13 +266,16 @@ def decode_boxes(deltas: jnp.ndarray, anchors: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnums=(3,))
 def select_detections(cls_logits, boxes, dir_logits, cfg: PointPillarsConfig):
-    """Scores -> top-k pre-NMS -> BEV center-distance NMS (fixed shape).
+    """Scores -> top-k pre-NMS -> exact BEV rotated-IoU NMS (fixed shape).
 
     Returns (boxes (K, 7), scores (K,), valid (K,)) with K = max_detections.
-    The suppression criterion approximates rotated-IoU by center distance
-    relative to box diagonal — adequate for the SLAM pipeline, which
-    re-gates detections against LiDAR and masks downstream.
+    The pairwise rotated IoU matrix (ops.rotated_iou, Sutherland-Hodgman
+    clipping) is computed once over the nms_pre candidates; the greedy
+    suppression loop then just indexes it — the TPU-native equivalent of
+    mmcv's CUDA rotated NMS the reference's detector3d relies on.
     """
+    from ..ops.rotated_iou import rotated_iou_matrix
+
     scores = jax.nn.sigmoid(cls_logits)
     top_scores, idx = jax.lax.top_k(scores, cfg.nms_pre)
     cand_boxes = boxes[idx]
@@ -269,7 +284,7 @@ def select_detections(cls_logits, boxes, dir_logits, cfg: PointPillarsConfig):
     cand_boxes = cand_boxes.at[:, 6].add(flip * jnp.pi)
 
     K = cfg.max_detections
-    diag = jnp.sqrt(cand_boxes[:, 3] ** 2 + cand_boxes[:, 4] ** 2)
+    iou = rotated_iou_matrix(cand_boxes, cand_boxes)    # (nms_pre, nms_pre)
 
     def body(k, state):
         keep_boxes, keep_scores, keep_valid, alive = state
@@ -282,11 +297,7 @@ def select_detections(cls_logits, boxes, dir_logits, cfg: PointPillarsConfig):
         keep_boxes = keep_boxes.at[k].set(jnp.where(ok, b, 0.0))
         keep_scores = keep_scores.at[k].set(jnp.where(ok, s, 0.0))
         keep_valid = keep_valid.at[k].set(ok.astype(jnp.float32))
-        # suppress near-duplicates of the selected box
-        d = jnp.sqrt(
-            (cand_boxes[:, 0] - b[0]) ** 2 + (cand_boxes[:, 1] - b[1]) ** 2
-        )
-        suppress = d < 0.5 * (diag + diag[j]) * cfg.nms_iou_threshold
+        suppress = iou[j] > cfg.nms_iou_threshold
         alive = jnp.where(ok & suppress, 0.0, alive).at[j].set(0.0)
         return keep_boxes, keep_scores, keep_valid, alive
 

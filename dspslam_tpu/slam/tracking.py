@@ -58,6 +58,14 @@ class TrackerConfig:
     # (Frame::UndistortKeyPoints, reference src/Frame.cc:405-434).
     # Stereo input must be rectified (reference asserts the same).
     dist_coeffs: tuple = (0.0, 0.0, 0.0, 0.0, 0.0)
+    # constant-velocity model smoothing in the SE(3) tangent (1.0 = the
+    # reference's raw frame-to-frame motion). Below 1, per-frame pose
+    # noise enters the next prediction attenuated: the raw model feeds
+    # estimation error back DOUBLED (pred = 2 e_k - e_{k-1}), which on
+    # scenes with weakly-observed directions (far-plane-dominated
+    # matches) amplifies a centimeter-level wobble into tracking loss
+    # within ~5 frames.
+    velocity_smoothing: float = 0.6
 
     @property
     def intrinsics(self):
@@ -194,7 +202,7 @@ class Tracker:
                     frame.map_point_ids[kp] = cid[c]
             self.n_inliers = n_in
             self.state = State.OK
-            self.velocity = frame.T_cw @ self.last_frame.T_wc
+            self._update_velocity(frame)
             self._update_point_stats(frame, cid, cpos, cval)
             if self._need_new_keyframe(frame):
                 self._create_keyframe(frame)
@@ -206,7 +214,7 @@ class Tracker:
                 mod_ok = self._track_local_map(frame)
             if mod_ok:
                 self.state = State.OK
-                self.velocity = frame.T_cw @ self.last_frame.T_wc
+                self._update_velocity(frame)
                 if self._need_new_keyframe(frame):
                     self._create_keyframe(frame)
                 self.frames_since_kf += 1
@@ -314,8 +322,7 @@ class Tracker:
                 ok = self._track_local_map(frame)
             if ok:
                 self.state = State.OK
-                if self.last_frame is not None:
-                    self.velocity = frame.T_cw @ self.last_frame.T_wc
+                self._update_velocity(frame)
                 if self._need_new_keyframe(frame):
                     self._create_keyframe(frame)
                 self.frames_since_kf += 1
@@ -330,6 +337,24 @@ class Tracker:
             (frame.timestamp, frame.T_cw.copy(), self.state != State.OK)
         )
         self.last_frame = frame
+
+    def _update_velocity(self, frame: Frame):
+        """Constant-velocity model update, optionally smoothed on the
+        SE(3) geodesic (velocity_smoothing < 1). The raw model
+        (mVelocity = Tcw * LastTwc, Tracking.cc) doubles per-frame
+        estimation noise into the next prediction; smoothing keeps the
+        feedback gain below the runaway threshold on scenes whose match
+        geometry under-constrains some pose directions."""
+        if self.last_frame is None:
+            return
+        v_obs = (frame.T_cw @ self.last_frame.T_wc).astype(np.float32)
+        a = float(self.cfg.velocity_smoothing)
+        if self.velocity is None or a >= 1.0:
+            self.velocity = v_obs
+        else:
+            from ..ops import lie_np
+
+            self.velocity = lie_np.interp_se3(self.velocity, v_obs, a)
 
     def reset(self):
         """Full system reset: wipe the map and return to initialization

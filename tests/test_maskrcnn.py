@@ -173,3 +173,33 @@ class TestCheckpointIngestion:
         img = RNG.uniform(0, 255, (128, 160, 3)).astype(np.float32)
         out = mr.detect(params, jnp.asarray(img), (128, 160), cfg)
         assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+class TestFPNLevelAssignment:
+    def test_matches_mmdet_formula(self):
+        import numpy as np
+        from dspslam_tpu.detect.maskrcnn import fpn_level_of
+
+        rng = np.random.default_rng(0)
+        boxes = []
+        for _ in range(50):
+            w = rng.uniform(8, 900)
+            h = rng.uniform(8, 900)
+            x, y = rng.uniform(0, 100, 2)
+            boxes.append([x, y, x + w, y + h])
+        boxes = np.asarray(boxes, np.float32)
+        got = np.asarray(fpn_level_of(boxes))
+        wh = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        expect = np.floor(4 + np.log2(np.sqrt(wh) / 224 + 1e-8))
+        expect = np.clip(expect, 2, 5) - 2
+        np.testing.assert_array_equal(got, expect.astype(np.int32))
+
+    def test_small_box_uses_p2_large_uses_p5(self):
+        import numpy as np
+        from dspslam_tpu.detect.maskrcnn import fpn_level_of
+
+        boxes = np.array(
+            [[0, 0, 32, 32], [0, 0, 1000, 800]], np.float32
+        )
+        lv = np.asarray(fpn_level_of(boxes))
+        assert lv[0] == 0 and lv[1] == 3
