@@ -87,6 +87,8 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=16)
     p.add_argument("--warmup", type=int, default=6)
     p.add_argument("--no_objects", action="store_true")
+    p.add_argument("--no_pipeline", action="store_true",
+                   help="disable one-frame-lag pipelined tracking")
     args = p.parse_args(argv)
 
     world = build_world()
@@ -95,6 +97,7 @@ def main(argv=None):
         fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, width=W, height=H,
         min_init_features=400, max_frames_between_kf=5,
         search_radius_motion=25.0,
+        pipelined=not args.no_pipeline,
     )
     cam_xs = {}
 
@@ -126,9 +129,13 @@ def main(argv=None):
     # main loop; host->device transfer otherwise serializes on relay TPUs)
     def upload(k):
         cam_xs[k] = k * step
-        l = jax.device_put(render(world, cam_xs[k]).astype(np.float32))
+        # uint8 frames, as a real camera delivers them: 4x less relay
+        # bandwidth than float32; device programs cast on entry
+        l = jax.device_put(
+            np.clip(render(world, cam_xs[k]), 0, 255).astype(np.uint8)
+        )
         r = jax.device_put(
-            render(world, cam_xs[k], BASELINE_M).astype(np.float32)
+            np.clip(render(world, cam_xs[k], BASELINE_M), 0, 255).astype(np.uint8)
         )
         return l, r
 
@@ -139,6 +146,7 @@ def main(argv=None):
         system.track_stereo(pair[0], pair[1], k * 0.1)
         times.append(time.perf_counter() - t0)
         pair = next_pair
+    system.flush()
 
     steady = np.asarray(times[args.warmup :])
     fps = 1.0 / np.median(steady)

@@ -274,6 +274,10 @@ def extract(img: jnp.ndarray, params: ORBParams = ORBParams()):
       level (N,) int32, octave scale sigma2 (N,), desc (N, 8) uint32,
       valid (N,).
     """
+    # accept uint8 camera frames: host->device image transfer is the
+    # per-frame bandwidth bottleneck on relay-attached TPUs (4x smaller
+    # than float32); the cast fuses into the first convolution
+    img = img.astype(jnp.float32)
     budgets = params.features_per_level()
     scales = params.level_scales()
     pattern = jnp.asarray(brief_pattern(params.seed))

@@ -58,6 +58,8 @@ def stereo_match(
     Row band scales with the right keypoint's pyramid level, mirroring the
     reference's vector-of-rows candidate build (Frame.cc:481-500).
     """
+    img_l = img_l.astype(jnp.float32)   # uint8 frames accepted (see orb.extract)
+    img_r = img_r.astype(jnp.float32)
     xl, yl = feats_l["xy"][:, 0], feats_l["xy"][:, 1]
     xr, yr = feats_r["xy"][:, 0], feats_r["xy"][:, 1]
 

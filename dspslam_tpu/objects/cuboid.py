@@ -64,8 +64,16 @@ def compute_cuboid_pca(points_w: np.ndarray):
     center_o = (maxs + mins) / 2.0
     center_w = R @ center_o
 
+    # Scale prior 0.40 * l is the reference's ShapeNet-car constant
+    # (MapObject.cc PCA pose); clamp it so the member points land inside
+    # the decoder's valid domain (DeepSDF is trained on the unit ball —
+    # a scale that leaves evidence outside it gives the GN no usable
+    # SDF values or gradients to recover from).
+    r_pts = np.linalg.norm(pts - center_w, axis=-1)
+    r95 = np.quantile(r_pts, 0.95) if n >= 5 else r_pts.max()
+    scale = max(0.40 * whl[2], float(r95) / 0.95)
     T = np.eye(4, dtype=np.float32)
-    T[:3, :3] = 0.40 * whl[2] * R
+    T[:3, :3] = scale * R
     T[:3, 3] = center_w
     inlier = np.zeros(len(points_w), bool)
     inlier[np.nonzero(keep)[0]] = remove_outliers_box(pts, R, center_w, whl)

@@ -73,6 +73,16 @@ class MonoObjectPipeline:
         ):
             self._reconstruct_ready(kf)
 
+    # LocalMapper dispatch/apply split (slam/local_mapping.py:73-79).
+    # Mono association votes with MAP POINTS inside the detection mask,
+    # so the whole stage must run AFTER this keyframe's triangulation —
+    # everything happens in apply_keyframe; there is nothing to overlap.
+    def dispatch_keyframe(self, kf, local_kf_ids=None):
+        return None
+
+    def apply_keyframe(self, kf, pending):
+        self.process_keyframe(kf)
+
     # ------------------------------------------------------------------
     def _points_in_mask(self, kf, det: Detection):
         """Map-point ids whose keypoints fall inside the detection mask."""

@@ -172,10 +172,21 @@ def reconstruct_object(
         code_new = code + config.learning_rate * dx[POSE_DIM:]
 
         loss = config.k1 * render_loss_val + config.k2 * sdf_loss
+        # the render-validity gate only applies when the detection has
+        # foreground (depth-observed) rays: mono detections carry
+        # background rays alone, and early in a mono object's life the
+        # PCA-seeded scale can be small enough that no ray sample enters
+        # the canonical unit ball — the SDF surface term must then be
+        # free to grow the scale (reference mono accepts GN results with
+        # no such gate, LocalMapping_util.cc:396-438)
+        render_required = jnp.sum(fg_mask) > 0
         healthy = (
             jnp.isfinite(loss)
             & jnp.all(jnp.isfinite(dx))
-            & (aux["n_valid_query"] >= config.min_render_points)
+            & (
+                (aux["n_valid_query"] >= config.min_render_points)
+                | ~render_required
+            )
         )
         t_obj_cam_out = jnp.where(healthy, t_obj_cam_new, t_obj_cam)
         code_out = jnp.where(healthy, code_new, code)

@@ -60,28 +60,12 @@ def _resolve_and_pack(idx, dist, feats, u_right, cand_pos, cand_valid, cap):
     return pts_w, obs, inv_s2, vmask, smask, win
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def track_frame_stereo(
-    orb_params: orb.ORBParams,
-    radii: tuple,                 # (motion_radius, local_radius) static
-    img_l: jnp.ndarray,
-    img_r: jnp.ndarray,
-    bf: jnp.ndarray,
-    max_disparity: jnp.ndarray,
-    intrinsics: jnp.ndarray,      # (5,)
-    T_pred: jnp.ndarray,          # (4, 4) motion-model prediction
-    last_pos: jnp.ndarray,        # (C, 3) last-frame map points
-    last_desc: jnp.ndarray,       # (C, 8)
-    last_level: jnp.ndarray,      # (C,) creation octave
-    last_dist: jnp.ndarray,       # (C,) creation viewing distance
-    last_valid: jnp.ndarray,      # (C,)
-    local_pos: jnp.ndarray,       # (C, 3) local-map points
-    local_desc: jnp.ndarray,
-    local_level: jnp.ndarray,
-    local_dist: jnp.ndarray,
-    local_valid: jnp.ndarray,
+def _two_stage_track(
+    orb_params, radii, img_l, img_r, bf, max_disparity, intrinsics,
+    T_pred, last_pos, last_desc, last_level, last_dist, last_valid,
+    local_pos, local_desc, local_level, local_dist, local_valid,
 ):
-    """Returns (feats_l, stereo_out, result dict) — one device program."""
+    """Shared body: extraction + stereo + motion stage + local stage."""
     feats_l = orb.extract(img_l, orb_params)
     feats_r = orb.extract(img_r, orb_params)
     st = stereo.stereo_match(feats_l, feats_r, img_l, img_r, bf, max_disparity)
@@ -138,3 +122,96 @@ def track_frame_stereo(
         "T_motion": T1, "n_motion": n1,
         "T_cw": T2, "match_idx": idx2, "inlier": inl2, "n_inliers": n2,
     }
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def track_frame_stereo(
+    orb_params: orb.ORBParams,
+    radii: tuple,                 # (motion_radius, local_radius) static
+    img_l: jnp.ndarray,
+    img_r: jnp.ndarray,
+    bf: jnp.ndarray,
+    max_disparity: jnp.ndarray,
+    intrinsics: jnp.ndarray,      # (5,)
+    T_pred: jnp.ndarray,          # (4, 4) motion-model prediction
+    last_pos: jnp.ndarray,        # (C, 3) last-frame map points
+    last_desc: jnp.ndarray,       # (C, 8)
+    last_level: jnp.ndarray,      # (C,) creation octave
+    last_dist: jnp.ndarray,       # (C,) creation viewing distance
+    last_valid: jnp.ndarray,      # (C,)
+    local_pos: jnp.ndarray,       # (C, 3) local-map points
+    local_desc: jnp.ndarray,
+    local_level: jnp.ndarray,
+    local_dist: jnp.ndarray,
+    local_valid: jnp.ndarray,
+):
+    """Returns (feats_l, stereo_out, result dict) — one device program."""
+    return _two_stage_track(
+        orb_params, radii, img_l, img_r, bf, max_disparity, intrinsics,
+        T_pred, last_pos, last_desc, last_level, last_dist, last_valid,
+        local_pos, local_desc, local_level, local_dist, local_valid,
+    )
+
+
+def _se3_inverse(T):
+    R = T[:3, :3]
+    t = T[:3, 3]
+    out = jnp.eye(4, dtype=T.dtype)
+    out = out.at[:3, :3].set(R.T)
+    return out.at[:3, 3].set(-R.T @ t)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def track_frame_stereo_chained(
+    orb_params: orb.ORBParams,
+    radii: tuple,
+    vel_alpha: float,             # SE(3) velocity smoothing gain (static)
+    img_l: jnp.ndarray,
+    img_r: jnp.ndarray,
+    bf: jnp.ndarray,
+    max_disparity: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    T_cw_prev: jnp.ndarray,       # (4, 4) previous frame pose  [device chain]
+    vel_prev: jnp.ndarray,        # (4, 4) previous velocity    [device chain]
+    last_pos: jnp.ndarray,        # motion-stage candidate set  [device chain]
+    last_desc: jnp.ndarray,
+    last_level: jnp.ndarray,
+    last_dist: jnp.ndarray,
+    last_valid: jnp.ndarray,
+    local_pos: jnp.ndarray,       # local-map pack (host, updated at KFs)
+    local_desc: jnp.ndarray,
+    local_level: jnp.ndarray,
+    local_dist: jnp.ndarray,
+    local_valid: jnp.ndarray,
+):
+    """Pipelined variant: the motion prediction, velocity update and the
+    next frame's motion-stage candidate set are computed ON DEVICE, so
+    frame k+1 can be dispatched before frame k's results are fetched.
+    The host then runs one frame behind the camera, and the per-frame
+    result fetch (~relay RTT + payload) overlaps the next frame's device
+    compute — the TPU-native equivalent of the reference's decoupled
+    tracking thread (System.cc thread layout).
+
+    Returns (feats_l, stereo_out, result, chain_state) where chain_state
+    = (T_cw, velocity, pos, desc, level, dist, valid) feeds the next
+    call's [device chain] arguments unchanged.
+    """
+    from ..ops import lie
+
+    T_pred = vel_prev @ T_cw_prev
+    feats_l, st, result = _two_stage_track(
+        orb_params, radii, img_l, img_r, bf, max_disparity, intrinsics,
+        T_pred, last_pos, last_desc, last_level, last_dist, last_valid,
+        local_pos, local_desc, local_level, local_dist, local_valid,
+    )
+    T2 = result["T_cw"]
+    # smoothed constant-velocity update (Tracker._update_velocity)
+    v_obs = T2 @ _se3_inverse(T_cw_prev)
+    dv = lie.log_se3(v_obs @ _se3_inverse(vel_prev))
+    vel_new = lie.exp_se3(vel_alpha * dv) @ vel_prev
+    result = dict(result, velocity=vel_new)
+    chain = (
+        T2, vel_new, local_pos, local_desc, local_level, local_dist,
+        result["inlier"],
+    )
+    return feats_l, st, result, chain

@@ -99,6 +99,7 @@ class KeyFrame:
     def __init__(self, frame: Frame):
         self.id = next(KeyFrame._ids)
         self.frame_id = frame.id
+        self.seq_idx = -1        # caller-visible sequence index (set by Tracker)
         self.timestamp = frame.timestamp
         self.feats = frame.feats
         self.n = frame.n

@@ -83,6 +83,14 @@ class SLAMSystem:
         self.frame_idx += 1
         return frame
 
+    def flush(self):
+        """Drain any pipelined in-flight frame (sequence end). No-op in
+        synchronous mode."""
+        frame = self.tracker.flush()
+        if frame is not None:
+            self._drain_keyframes()
+        return frame
+
     def activate_localization_mode(self):
         """Tracking-only: stop mapping, keep localizing against the
         current (frozen) map (System::ActivateLocalizationMode)."""
@@ -95,7 +103,11 @@ class SLAMSystem:
         while self.tracker.new_keyframes:
             kf = self.tracker.new_keyframes.pop(0)
             if self.detection_source is not None:
-                kf.detections = self.detection_source(self.frame_idx) or []
+                # kf.seq_idx: the track_* call that produced this KF — in
+                # pipelined mode keyframes surface one call later, so
+                # self.frame_idx would be off by one
+                idx = kf.seq_idx if kf.seq_idx >= 0 else self.frame_idx
+                kf.detections = self.detection_source(idx) or []
             self.local_mapper.process(kf)
             if self.loop_closer is not None:
                 self.loop_closer.insert_keyframe(kf)

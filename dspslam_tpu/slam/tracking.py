@@ -66,6 +66,15 @@ class TrackerConfig:
     # matches) amplifies a centimeter-level wobble into tracking loss
     # within ~5 frames.
     velocity_smoothing: float = 0.6
+    # One-frame software pipelining of the fused stereo path: frame k+1
+    # is dispatched (with motion prediction, velocity update and the
+    # next motion-stage candidate set computed ON DEVICE) before frame
+    # k's results are fetched, so the fetch round trip overlaps the next
+    # frame's compute. Host state (map, keyframes, trajectory) runs one
+    # frame behind the camera — the TPU-native analogue of the
+    # reference's decoupled tracking/mapping threads. Callers must
+    # flush() at sequence end.
+    pipelined: bool = False
 
     @property
     def intrinsics(self):
@@ -76,6 +85,18 @@ class TrackerConfig:
         """Close-point depth gate in meters: ThDepth * baseline
         (reference Tracking.cc: mThDepth = mbf * ThDepth / fx)."""
         return self.th_depth * self.bf / self.fx
+
+
+def _upload_image(img):
+    """Host->device image upload preserving uint8 (4x less transfer than
+    float32 — the dominant per-frame cost on relay-attached TPUs; device
+    programs cast to f32 on entry). Pre-uploaded jax arrays pass through."""
+    if isinstance(img, jnp.ndarray):
+        return img
+    a = np.asarray(img)
+    if a.dtype == np.uint8:
+        return jnp.asarray(a)
+    return jnp.asarray(a, jnp.float32)
 
 
 def _pack_map_points(entries, cap):
@@ -121,51 +142,55 @@ class Tracker:
         self.trajectory: list[tuple[float, np.ndarray, bool]] = []
         self.relocalizer = None                   # set by the system facade
         self.localization_only = False            # tracking against a frozen map
+        # pipelined-mode state (cfg.pipelined)
+        self.frame_seq = 0                        # per-call sequence index
+        self._current_seq = -1                    # seq of the frame being finalized
+        self._chain = None                        # device-side chain state tuple
+        self._inflight = None                     # dispatched-not-finalized frame
+        self._inflight_poisoned = False           # chain broke; redo from images
 
     # ------------------------------------------------------------------
     def process_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
-                       timestamp: float) -> Frame:
+                       timestamp: float) -> Frame | None:
         """Per-frame stereo tracking. In the steady state the whole device
         pipeline runs as ONE fused program (slam.frame_step) — a single
         dispatch + a single fetch per frame; initialization, loss and
-        fallback paths use the modular stage-by-stage code below."""
-        if (
+        fallback paths use the modular stage-by-stage code below.
+
+        With cfg.pipelined the steady state additionally runs one frame
+        BEHIND the camera (dispatch k+1, then fetch k): returns the
+        previous frame's result, or None on the first pipelined call —
+        callers flush() at sequence end."""
+        self._current_seq = self.frame_seq
+        self.frame_seq += 1
+        steady = (
             self.state == State.OK
-            and self.velocity is not None
             and self.ref_kf is not None
-            and self.last_frame is not None
-        ):
+            and (
+                self._chain is not None
+                or (self.velocity is not None and self.last_frame is not None)
+            )
+        )
+        if self.cfg.pipelined:
+            if steady:
+                return self._process_stereo_pipelined(img_l, img_r, timestamp)
+            self.flush()
+            return self._process_stereo_modular(img_l, img_r, timestamp)
+        if steady and self.velocity is not None and self.last_frame is not None:
             return self._process_stereo_fused(img_l, img_r, timestamp)
         return self._process_stereo_modular(img_l, img_r, timestamp)
 
     def _process_stereo_fused(self, img_l, img_r, timestamp: float) -> Frame:
         from . import frame_step
 
-        jl = (
-            img_l if isinstance(img_l, jnp.ndarray)
-            else jnp.asarray(img_l, jnp.float32)
-        )
-        jr = (
-            img_r if isinstance(img_r, jnp.ndarray)
-            else jnp.asarray(img_r, jnp.float32)
-        )
+        jl = _upload_image(img_l)
+        jr = _upload_image(img_r)
         last_ids_raw = self.last_frame.map_point_ids
         last_entries = self._entries_from_ids(last_ids_raw[last_ids_raw >= 0])
         lid, lpos, ldesc, llvl, ldist, lval = _pack_map_points(
             last_entries, LOCAL_POINT_CAP
         )
-        # the local-map candidate set only changes when the map does
-        # (keyframe insertion / BA / culling) — cache the packed arrays
-        # between keyframes instead of re-walking the map every frame
-        cache_key = (self.ref_kf.id, len(self.map.points), len(self.map.keyframes))
-        if getattr(self, "_local_cache_key", None) != cache_key:
-            kf_ids = self.map.local_keyframes(self.ref_kf, 20)
-            local_entries = self._entries_from_ids(
-                self.map.points_seen_by(kf_ids)
-            )
-            self._local_cache = _pack_map_points(local_entries, LOCAL_POINT_CAP)
-            self._local_cache_key = cache_key
-        cid, cpos, cdesc, clvl, cdist, cval = self._local_cache
+        (cid, cpos, _, _, _, cval), dev = self._local_pack()
         T_pred = (self.velocity @ self.last_frame.T_cw).astype(np.float32)
 
         feats_j, st_j, result_j = frame_step.track_frame_stereo(
@@ -175,13 +200,20 @@ class Tracker:
             self.cfg.intrinsics, jnp.asarray(T_pred),
             jnp.asarray(lpos), jnp.asarray(ldesc), jnp.asarray(llvl),
             jnp.asarray(ldist), jnp.asarray(lval),
-            jnp.asarray(cpos), jnp.asarray(cdesc), jnp.asarray(clvl),
-            jnp.asarray(cdist), jnp.asarray(cval),
+            *dev,
         )
         # ONE round trip for everything the host needs this frame
         feats, st, result = jax.device_get((feats_j, st_j, result_j))
-
         frame = Frame(timestamp, feats, depth=st["depth"], u_right=st["u_right"])
+        frame, _ = self._apply_fused_result(frame, result, cid, cpos, cval)
+        return frame
+
+    def _apply_fused_result(self, frame, result, cid, cpos, cval,
+                            velocity=None):
+        """Host bookkeeping after a fused/pipelined device program: pose
+        acceptance, match bookkeeping, stats, KF decision, fallbacks.
+        Returns (frame, ok) — ok False means the device track was
+        rejected and the modular fallback ran (recovered or LOST)."""
         n_in = int(result["n_inliers"])
         # motion-model acceptance mirrors the reference: the prediction
         # stage must find >= 20 matches (Tracking::TrackWithMotionModel
@@ -190,8 +222,9 @@ class Tracker:
         # motion stage can otherwise "confirm" an aliased wrong pose
         # with a handful of self-similar far-texture matches
         ok = int(result["n_motion"]) >= max(self.cfg.min_track_matches, 20) \
-            and n_in >= max(self.cfg.min_inliers, 30)
-        if ok and np.isfinite(result["T_cw"]).all():
+            and n_in >= max(self.cfg.min_inliers, 30) \
+            and bool(np.isfinite(result["T_cw"]).all())
+        if ok:
             frame.T_cw = np.asarray(result["T_cw"], np.float32)
             idx = result["match_idx"]
             inlier = result["inlier"]
@@ -202,7 +235,10 @@ class Tracker:
                     frame.map_point_ids[kp] = cid[c]
             self.n_inliers = n_in
             self.state = State.OK
-            self._update_velocity(frame)
+            if velocity is not None:
+                self.velocity = np.asarray(velocity, np.float32)
+            else:
+                self._update_velocity(frame)
             self._update_point_stats(frame, cid, cpos, cval)
             if self._need_new_keyframe(frame):
                 self._create_keyframe(frame)
@@ -226,21 +262,142 @@ class Tracker:
             (frame.timestamp, frame.T_cw.copy(), self.state != State.OK)
         )
         self.last_frame = frame
+        return frame, ok
+
+    def _local_pack(self):
+        """Packed local-map candidates, host + device copies. The set
+        only changes when the map does (keyframe insertion / BA /
+        culling) — cached between keyframes instead of re-walking the
+        map and re-uploading ~250 KB every frame."""
+        cache_key = (self.ref_kf.id, len(self.map.points), len(self.map.keyframes))
+        if getattr(self, "_local_cache_key", None) != cache_key:
+            kf_ids = self.map.local_keyframes(self.ref_kf, 20)
+            local_entries = self._entries_from_ids(
+                self.map.points_seen_by(kf_ids)
+            )
+            self._local_cache = _pack_map_points(local_entries, LOCAL_POINT_CAP)
+            cid, cpos, cdesc, clvl, cdist, cval = self._local_cache
+            self._local_cache_dev = tuple(
+                jnp.asarray(a) for a in (cpos, cdesc, clvl, cdist, cval)
+            )
+            self._local_cache_key = cache_key
+        return self._local_cache, self._local_cache_dev
+
+    # ------------------------------------------------------------------
+    # pipelined steady-state path (cfg.pipelined)
+    def _process_stereo_pipelined(self, img_l, img_r, timestamp: float):
+        from . import frame_step
+
+        # a poisoned in-flight frame was dispatched from a chain the
+        # host has since rejected: re-track it synchronously from its
+        # retained image handles before touching the new frame
+        if self._inflight is not None and self._inflight_poisoned:
+            h = self._inflight
+            self._inflight = None
+            self._inflight_poisoned = False
+            cur_seq = self._current_seq
+            if (
+                self.state == State.OK and self.velocity is not None
+                and self.last_frame is not None and self.ref_kf is not None
+            ):
+                self._current_seq = h["seq"]
+                self._process_stereo_fused(h["img_l"], h["img_r"], h["timestamp"])
+            self._current_seq = cur_seq
+            if self.state != State.OK:
+                return self._process_stereo_modular(img_l, img_r, timestamp)
+
+        jl = _upload_image(img_l)
+        jr = _upload_image(img_r)
+        (cid, cpos, _, _, _, cval), dev = self._local_pack()
+        if self._chain is None:
+            # seed the device chain from host state
+            last_ids_raw = self.last_frame.map_point_ids
+            last_entries = self._entries_from_ids(
+                last_ids_raw[last_ids_raw >= 0]
+            )
+            _, lpos, ldesc, llvl, ldist, lval = _pack_map_points(
+                last_entries, LOCAL_POINT_CAP
+            )
+            self._chain = (
+                jnp.asarray(self.last_frame.T_cw),
+                jnp.asarray(self.velocity),
+                jnp.asarray(lpos), jnp.asarray(ldesc), jnp.asarray(llvl),
+                jnp.asarray(ldist), jnp.asarray(lval),
+            )
+        feats_j, st_j, result_j, chain = frame_step.track_frame_stereo_chained(
+            self.orb_params,
+            (float(self.cfg.search_radius_motion),
+             float(self.cfg.search_radius_local)),
+            float(self.cfg.velocity_smoothing),
+            jl, jr, jnp.float32(self.cfg.bf), jnp.float32(self.cfg.bf / 0.5),
+            self.cfg.intrinsics, *self._chain, *dev,
+        )
+        prev = self._inflight
+        self._inflight = {
+            "seq": self._current_seq, "timestamp": timestamp,
+            "img_l": jl, "img_r": jr,
+            "feats_j": feats_j, "st_j": st_j, "result_j": result_j,
+            "cid": cid, "cpos": cpos, "cval": cval,
+        }
+        self._chain = chain
+        if prev is not None:
+            return self._finalize_inflight(prev)
+        return None
+
+    def _finalize_inflight(self, h) -> Frame:
+        """Fetch + host bookkeeping for a dispatched frame (runs one
+        frame behind in pipelined mode)."""
+        feats, st, result = jax.device_get(
+            (h["feats_j"], h["st_j"], h["result_j"])
+        )
+        frame = Frame(
+            h["timestamp"], feats, depth=st["depth"], u_right=st["u_right"]
+        )
+        cur_seq = self._current_seq
+        self._current_seq = h["seq"]
+        frame, ok = self._apply_fused_result(
+            frame, result, h["cid"], h["cpos"], h["cval"],
+            velocity=result.get("velocity"),
+        )
+        self._current_seq = cur_seq
+        if not ok:
+            # device chain carried a rejected pose: drop it and mark any
+            # newer in-flight frame for synchronous re-tracking
+            self._chain = None
+            if self._inflight is not None:
+                self._inflight_poisoned = True
         return frame
+
+    def flush(self) -> Frame | None:
+        """Drain the pipelined in-flight frame (sequence end / mode
+        switches). Returns the finalized frame, if any."""
+        out = None
+        if self._inflight is not None:
+            h = self._inflight
+            self._inflight = None
+            if self._inflight_poisoned:
+                self._inflight_poisoned = False
+                if (
+                    self.state == State.OK and self.velocity is not None
+                    and self.last_frame is not None and self.ref_kf is not None
+                ):
+                    cur_seq = self._current_seq
+                    self._current_seq = h["seq"]
+                    out = self._process_stereo_fused(
+                        h["img_l"], h["img_r"], h["timestamp"]
+                    )
+                    self._current_seq = cur_seq
+            else:
+                out = self._finalize_inflight(h)
+        return out
 
     def _process_stereo_modular(self, img_l, img_r, timestamp: float) -> Frame:
         # upload each image exactly once (host->device transfers dominate
         # on relay-attached TPUs); callers may pass pre-uploaded jax
         # arrays (e.g. a prefetching loader) to overlap transfer with
         # the previous frame's compute
-        jl = (
-            img_l if isinstance(img_l, jnp.ndarray)
-            else jnp.asarray(img_l, jnp.float32)
-        )
-        jr = (
-            img_r if isinstance(img_r, jnp.ndarray)
-            else jnp.asarray(img_r, jnp.float32)
-        )
+        jl = _upload_image(img_l)
+        jr = _upload_image(img_r)
         # two serial extracts beat a vmapped pair on v5e (batched gathers
         # in selection/descriptor stages dominate): 2 x 16 ms vs 38 ms
         feats_l = orb.extract(jl, self.orb_params)
@@ -259,7 +416,9 @@ class Tracker:
 
     def process_rgbd(self, img: np.ndarray, depth: np.ndarray,
                      timestamp: float) -> Frame:
-        feats_j = orb.extract(jnp.asarray(img, jnp.float32), self.orb_params)
+        self._current_seq = self.frame_seq
+        self.frame_seq += 1
+        feats_j = orb.extract(_upload_image(img), self.orb_params)
         feats = {k: np.asarray(v) for k, v in feats_j.items()}
         # depth lookup uses RAW pixel coords (the sensor image); geometry
         # downstream uses undistorted coords (Frame::ComputeStereoFromRGBD)
@@ -275,7 +434,9 @@ class Tracker:
         return frame
 
     def process_mono(self, img: np.ndarray, timestamp: float) -> Frame:
-        feats_j = orb.extract(jnp.asarray(img, jnp.float32), self.orb_params)
+        self._current_seq = self.frame_seq
+        self.frame_seq += 1
+        feats_j = orb.extract(_upload_image(img), self.orb_params)
         feats = {k: np.asarray(v) for k, v in feats_j.items()}
         self._undistort_feats(feats)
         frame = Frame(timestamp, feats)
@@ -368,6 +529,10 @@ class Tracker:
         self.ref_kf = None
         self.new_keyframes.clear()
         self._init_ref = None
+        self._chain = None
+        self._inflight = None
+        self._inflight_poisoned = False
+        self._local_cache_key = None
         self.frames_since_kf = 0
 
     # ------------------------------------------------------------------
@@ -414,6 +579,7 @@ class Tracker:
         frame.T_cw = T2
         kf1 = KeyFrame(ref)
         kf2 = KeyFrame(frame)
+        kf1.seq_idx = kf2.seq_idx = self._current_seq
         self.map.add_keyframe(kf1)
         self.map.add_keyframe(kf2)
         good = out["good_mask"]
@@ -630,6 +796,7 @@ class Tracker:
 
     def _spawn_keyframe_with_points(self, frame: Frame, min_points=100):
         kf = KeyFrame(frame)
+        kf.seq_idx = self._current_seq
         self.map.add_keyframe(kf)
         # carry over tracked points
         for kp_idx in np.nonzero(frame.map_point_ids >= 0)[0]:

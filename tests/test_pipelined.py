@@ -1,0 +1,131 @@
+"""Pipelined (one-frame-lag) fused tracking: the dispatch-k+1-then-
+fetch-k steady state must produce the same trajectory and map as the
+synchronous fused path, with keyframes carrying the correct source
+frame index for detection lookup."""
+
+import numpy as np
+import pytest
+
+from dspslam_tpu.frontend import orb
+from dspslam_tpu.slam.system import SLAMSystem
+from dspslam_tpu.slam.tracking import State, TrackerConfig
+
+FX = FY = 500.0
+CX, CY = 320.0, 120.0
+BASELINE = 0.4
+BF = FX * BASELINE
+FAR_Z, NEAR_Z = 10.0, 5.0
+H, W = 240, 640
+STEP = 0.15
+N_FRAMES = 12
+
+
+def textured_world(seed=0):
+    rng = np.random.default_rng(seed)
+    far = rng.normal(80, 10, (H, 3 * W)).astype(np.float32)
+    for _ in range(350):
+        y, x = rng.integers(10, H - 20), rng.integers(10, 3 * W - 20)
+        s = rng.integers(4, 12)
+        far[y : y + s, x : x + s] = rng.uniform(150, 230)
+    near = np.full((H, 6 * W), np.nan, np.float32)
+    for _ in range(220):
+        y, x = rng.integers(10, H - 30), rng.integers(10, 6 * W - 30)
+        s = rng.integers(6, 14)
+        near[y : y + s, x : x + s] = rng.uniform(40, 250)
+    return far, near
+
+
+def render(world, cam_x, baseline_m=0.0):
+    far, near = world
+    sf = int(round(FX * (cam_x + baseline_m) / FAR_Z))
+    sn = int(round(FX * (cam_x + baseline_m) / NEAR_Z))
+    img = far[:, W + sf : 2 * W + sf].copy()
+    crop = near[:, W + sn : W + sn + W]
+    m = ~np.isnan(crop)
+    img[m] = crop[m]
+    return img
+
+
+def run(pipelined: bool, detection_log=None):
+    world = textured_world()
+    cfg = TrackerConfig(
+        fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, width=W, height=H,
+        min_init_features=150, max_frames_between_kf=4,
+        pipelined=pipelined,
+    )
+    detection_source = None
+    if detection_log is not None:
+        def detection_source(frame_idx):
+            detection_log.append(frame_idx)
+            return []
+    system = SLAMSystem(
+        tracker_cfg=cfg, orb_params=orb.ORBParams(n_features=600, n_levels=4),
+        detection_source=detection_source,
+        object_pipeline_factory=None,
+    )
+    for k in range(N_FRAMES):
+        system.track_stereo(
+            render(world, k * STEP),
+            render(world, k * STEP, baseline_m=BASELINE),
+            timestamp=k * 0.1,
+        )
+    system.flush()
+    return system
+
+
+@pytest.fixture(scope="module")
+def both_runs():
+    return run(False), run(True)
+
+
+class TestPipelinedParity:
+    def test_pipelined_stays_ok_and_covers_all_frames(self, both_runs):
+        sync, pipe = both_runs
+        assert pipe.state == State.OK
+        assert len(pipe.tracker.trajectory) == N_FRAMES
+        assert len(sync.tracker.trajectory) == N_FRAMES
+
+    def test_trajectory_matches_synchronous(self, both_runs):
+        sync, pipe = both_runs
+        ts = np.array([t for t, _, _ in sync.tracker.trajectory])
+        tp = np.array([t for t, _, _ in pipe.tracker.trajectory])
+        np.testing.assert_allclose(ts, tp)
+        true_x = np.arange(N_FRAMES) * STEP
+        for system in (sync, pipe):
+            est = np.array([
+                (-T[:3, :3].T @ T[:3, 3])[0]
+                for _, T, _ in system.tracker.trajectory
+            ])
+            rmse = float(np.sqrt(np.mean((est - true_x) ** 2)))
+            # the pipelined run tracks frames dispatched one call before
+            # each keyframe against a one-update-stale local map (the
+            # reference's tracking/mapping threads race identically);
+            # transients recover within a frame, so ATE stays tight
+            assert rmse < 0.05, rmse
+        # frame-by-frame agreement outside the keyframe transients
+        es = np.stack([T for _, T, _ in sync.tracker.trajectory])
+        ep = np.stack([T for _, T, _ in pipe.tracker.trajectory])
+        err = np.linalg.norm(es[:, :3, 3] - ep[:, :3, 3], axis=-1)
+        assert np.median(err) < 0.005, err
+
+    def test_map_grows_comparably(self, both_runs):
+        sync, pipe = both_runs
+        assert len(pipe.map.keyframes) >= 2
+        n_s, n_p = len(sync.map.points), len(pipe.map.points)
+        assert abs(n_s - n_p) / max(n_s, 1) < 0.3, (n_s, n_p)
+
+
+class TestKeyframeSeqIndex:
+    def test_detection_indices_match_keyframe_source_frames(self):
+        log = []
+        system = run(True, detection_log=log)
+        kfs = sorted(system.map.keyframes.values(), key=lambda kf: kf.id)
+        # every drained keyframe requested detections for ITS OWN frame
+        # index: seq_idx monotonically increasing, within range, and the
+        # log matches the keyframes' stamped indices in order
+        stamped = [kf.seq_idx for kf in kfs if kf.seq_idx >= 0]
+        assert all(0 <= i < N_FRAMES for i in log)
+        assert log == sorted(log)
+        # all keyframes alive at the end appear in the requested log
+        for idx in stamped:
+            assert idx in log
