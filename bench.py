@@ -78,7 +78,7 @@ def bench_gn():
     return elapsed / iters / B * 1e3
 
 
-def bench_slam_fps(frames: int = 24):
+def bench_slam_fps(frames: int = 40):
     from dspslam_tpu.apps import benchmark_slam
 
     buf = io.StringIO()

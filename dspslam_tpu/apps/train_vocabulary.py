@@ -8,7 +8,7 @@ suffice and training takes seconds.
 Usage:
     python -m dspslam_tpu.apps.train_vocabulary \
         --image_dir <dir with pngs> --output voc.npz \
-        [--stride 10] [--branching 8] [--levels 3]
+        [--stride 10] [--branching 10] [--levels 4]
 """
 
 from __future__ import annotations
@@ -29,8 +29,8 @@ def main(argv=None):
     p.add_argument("--image_dir", required=True)
     p.add_argument("--output", default="voc.npz")
     p.add_argument("--stride", type=int, default=10)
-    p.add_argument("--branching", type=int, default=8)
-    p.add_argument("--levels", type=int, default=3)
+    p.add_argument("--branching", type=int, default=10)
+    p.add_argument("--levels", type=int, default=4)
     p.add_argument("--max_images", type=int, default=50)
     args = p.parse_args(argv)
 

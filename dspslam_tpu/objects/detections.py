@@ -164,7 +164,6 @@ def build_frame_detections(
     order = np.argsort(detections_3d[:, 0]) if len(detections_3d) else []
     out: list[Detection] = []
     occ = np.zeros((h, w), bool)
-    prev_mask = None
     from .. import native
 
     for n in order:
@@ -200,18 +199,29 @@ def build_frame_detections(
             continue
         det.mask = masks_2d[best]
         det.bbox = np.asarray(boxes_2d[best][:4])
+        # occlusion mask: union of all NEARER detections' masks (the
+        # build iterates near-to-far). Pixels under it belong to the
+        # occluder, so they are excluded from BOTH foreground rays (their
+        # LiDAR depth is the occluder's surface) and background rays
+        # (they do not see free space behind this object).
+        det.occlusion_mask = occ.copy()
         if det.mask.sum() > min_mask_area:
+            vis = ~occ[pi[:, 1], pi[:, 0]]
+            px_vis = px[vis]
             bg_px = sample_background_pixels(
                 det.bbox, det.mask, bg_stride, max_bg_rays
             )
-            all_px = np.concatenate([px, bg_px], axis=0)
+            if len(bg_px):
+                bi = np.clip(
+                    bg_px.astype(np.int64), 0,
+                    [[w - 1, h - 1]],
+                )
+                bg_px = bg_px[~occ[bi[:, 1], bi[:, 0]]]
+            all_px = np.concatenate([px_vis, bg_px], axis=0)
             det.rays = pixel_rays(all_px, invK)
-            det.depth = pts_cam[in_fov][:, 2].astype(np.float32)
-            det.num_foreground = len(px)
-        det.occlusion_mask = occ.copy()
-        if prev_mask is not None:
-            occ |= prev_mask
-        prev_mask = masks_2d[best]
+            det.depth = pts_cam[in_fov][:, 2][vis].astype(np.float32)
+            det.num_foreground = len(px_vis)
+        occ |= det.mask
     return out
 
 

@@ -12,6 +12,7 @@ program.
 from __future__ import annotations
 
 import dataclasses
+import logging
 
 import jax.numpy as jnp
 import numpy as np
@@ -297,6 +298,16 @@ class LocalMapper:
         # points observed by the window, strongest first under the cap
         pt_ids = self.map.points_seen_by(window_ids)
         pt_ids.sort(key=lambda p: -self.map.points[p].n_obs)
+        if len(pt_ids) > BA_PT_CAP:
+            # fixed device shapes truncate here (the reference's
+            # all-covisible window is unbounded, Optimizer_util.cc:
+            # 309-430): the weakest-observed points are dropped from
+            # THIS solve only — surface it rather than silently thin
+            # the constraint set on dense maps
+            logging.getLogger(__name__).warning(
+                "local BA point cap: %d observed, optimizing strongest %d",
+                len(pt_ids), BA_PT_CAP,
+            )
         pt_ids = pt_ids[:BA_PT_CAP]
 
         # fixed observers: KFs outside the window seeing window points
@@ -358,6 +369,11 @@ class LocalMapper:
                 obs_valid[n_obs] = 1.0
                 obs_refs.append((kf_id, kp_idx, p_id))
                 n_obs += 1
+        if n_obs >= O:
+            logging.getLogger(__name__).warning(
+                "local BA observation cap reached (%d): remaining "
+                "observations dropped from this solve", O,
+            )
 
         if n_obs < 20:
             return

@@ -234,6 +234,22 @@ class TestDspSlamApp:
         visualize_map.main(["--map_dir", map_dir])
         assert os.path.exists(os.path.join(map_dir, "joint_map.ply"))
 
+    def test_follow_mode_renders_growing_map(self, slam_run, tmp_path):
+        system, _ = slam_run
+        from dspslam_tpu.apps import visualize_map
+
+        frames_dir = tmp_path / "frames"
+        frames_dir.mkdir()
+        for i in (0, 4, 9):
+            system.save_map_current_frame(str(frames_dir), i)
+        out_dir = tmp_path / "anim"
+        n = visualize_map.follow(
+            str(frames_dir), out_dir=str(out_dir), once=True
+        )
+        assert n == 3
+        pngs = sorted(os.listdir(out_dir))
+        assert len(pngs) == 3 and all(f.endswith(".png") for f in pngs)
+
 
 class TestRenderer:
     def test_rasterize_sphere_mesh(self):
