@@ -89,6 +89,8 @@ def main(argv=None):
     p.add_argument("--no_objects", action="store_true")
     p.add_argument("--no_pipeline", action="store_true",
                    help="disable one-frame-lag pipelined tracking")
+    p.add_argument("--sync_ba", action="store_true",
+                   help="apply local BA synchronously at each keyframe")
     args = p.parse_args(argv)
 
     world = build_world()
@@ -113,11 +115,17 @@ def main(argv=None):
             extract_meshes=True, voxels_dim=33,
         )
 
+    from ..slam.local_mapping import LocalMapperConfig
+
     system = SLAMSystem(
         tracker_cfg=cfg,
         orb_params=orb.ORBParams(n_features=2000, n_levels=8),
         object_pipeline_factory=None if args.no_objects else pipeline_factory,
         detection_source=None if args.no_objects else detection_source,
+        local_mapper_cfg=LocalMapperConfig(
+            fx=FX, fy=FY, cx=CX, cy=CY, bf=BF,
+            async_ba=not args.sync_ba,
+        ),
     )
 
     import jax

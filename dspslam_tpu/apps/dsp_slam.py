@@ -29,13 +29,14 @@ from .reconstruct_frame import get_decoder
 
 
 def build_system(system_cfg: cfg_mod.SystemConfig, sequence, enable_objects=True,
-                 enable_loop=True, vocabulary=None):
+                 enable_loop=True, vocabulary=None, pipelined=False):
     cam = system_cfg.camera
     tracker_cfg = TrackerConfig(
         fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.baseline_fx,
         width=cam.width, height=cam.height, th_depth=cam.depth_threshold,
         max_frames_between_kf=int(cam.fps),
         dist_coeffs=(cam.k1, cam.k2, cam.p1, cam.p2, cam.k3),
+        pipelined=pipelined,
     )
     orb_params = orb.ORBParams(
         n_features=system_cfg.orb.n_features,
@@ -95,7 +96,15 @@ def main(argv=None):
         "--save_state", help="write a resumable map checkpoint (npz) here"
     )
     p.add_argument("--overlay_dir", help="write per-frame tracking overlays")
+    p.add_argument(
+        "--pipeline", action="store_true",
+        help="one-frame-lag pipelined tracking (higher throughput; "
+        "per-frame overlays are skipped — results lag the camera)",
+    )
     args = p.parse_args(argv)
+    if args.pipeline and args.overlay_dir:
+        print("--pipeline: overlay writing disabled (frames lag the camera)")
+        args.overlay_dir = None
 
     system_cfg = (
         cfg_mod.SystemConfig.from_reference_json(args.config)
@@ -122,6 +131,7 @@ def main(argv=None):
         enable_objects=not args.no_objects,
         enable_loop=not args.no_loop and voc is not None,
         vocabulary=voc,
+        pipelined=args.pipeline,
     )
 
     n = args.frames or seq.num_frames
@@ -154,6 +164,7 @@ def main(argv=None):
                 f"objs={len(system.map.objects)}"
             )
 
+    system.flush()
     if args.profile_dir:
         import jax
 

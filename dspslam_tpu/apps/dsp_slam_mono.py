@@ -32,6 +32,11 @@ def main(argv=None):
     p.add_argument("--map_dir", default="map")
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--no_objects", action="store_true")
+    p.add_argument(
+        "--pipeline", action="store_true",
+        help="one-frame-lag pipelined tracking (distortion-free "
+        "cameras only; falls back to the modular path otherwise)",
+    )
     args = p.parse_args(argv)
 
     system_cfg = (
@@ -53,6 +58,7 @@ def main(argv=None):
         width=cam.width, height=cam.height,
         max_frames_between_kf=int(cam.fps),
         dist_coeffs=dist,
+        pipelined=args.pipeline,
     )
     orb_params = orb.ORBParams(
         n_features=system_cfg.orb.n_features,
@@ -94,6 +100,7 @@ def main(argv=None):
                 f"objs={len(system.map.objects)}"
             )
 
+    system.flush()
     os.makedirs(args.map_dir, exist_ok=True)
     system.save_map(args.map_dir)
     system.save_trajectory_tum(os.path.join(args.map_dir, "trajectory_tum.txt"))

@@ -64,16 +64,8 @@ def compute_cuboid_pca(points_w: np.ndarray):
     center_o = (maxs + mins) / 2.0
     center_w = R @ center_o
 
-    # Scale prior 0.40 * l is the reference's ShapeNet-car constant
-    # (MapObject.cc PCA pose); clamp it so the member points land inside
-    # the decoder's valid domain (DeepSDF is trained on the unit ball —
-    # a scale that leaves evidence outside it gives the GN no usable
-    # SDF values or gradients to recover from).
-    r_pts = np.linalg.norm(pts - center_w, axis=-1)
-    r95 = np.quantile(r_pts, 0.95) if n >= 5 else r_pts.max()
-    scale = max(0.40 * whl[2], float(r95) / 0.95)
     T = np.eye(4, dtype=np.float32)
-    T[:3, :3] = scale * R
+    T[:3, :3] = 0.40 * whl[2] * R
     T[:3, 3] = center_w
     inlier = np.zeros(len(points_w), bool)
     inlier[np.nonzero(keep)[0]] = remove_outliers_box(pts, R, center_w, whl)
@@ -100,6 +92,33 @@ def remove_outliers_model(
     lo = vertices_obj.min(axis=0) - margin
     hi = vertices_obj.max(axis=0) + margin
     return np.all((x_o >= lo) & (x_o <= hi), axis=-1)
+
+
+def floor_scale_to_domain(
+    T_wo_sim3: np.ndarray, points_w: np.ndarray, max_radius: float = 1.25
+) -> np.ndarray:
+    """Raise the Sim(3) scale so the evidence points land within
+    `max_radius` of the object frame's origin (canonical units).
+
+    The reference's 0.40 * l prior is tuned for ShapeNet cars and dense
+    LiDAR; on sparse mono point clouds the percentile extents
+    underestimate badly enough that member points can fall far outside
+    the decoder's trained domain (DeepSDF is only valid near the unit
+    ball), leaving the GN without usable SDF values or gradients.
+    max_radius 1.25 tolerates the same mild extrapolation the
+    reference's own car scaling implies."""
+    if len(points_w) == 0:
+        return T_wo_sim3
+    sR = T_wo_sim3[:3, :3]
+    s = float(np.linalg.det(sR)) ** (1.0 / 3.0)
+    r = np.linalg.norm(points_w - T_wo_sim3[:3, 3], axis=-1)
+    r95 = float(np.quantile(r, 0.95)) if len(r) >= 5 else float(r.max())
+    s_min = r95 / max_radius
+    if s >= s_min or s_min <= 0:
+        return T_wo_sim3
+    out = T_wo_sim3.copy()
+    out[:3, :3] = sR * (s_min / s)
+    return out
 
 
 def flipped_pose(T_wo_sim3: np.ndarray) -> np.ndarray:

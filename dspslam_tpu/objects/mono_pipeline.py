@@ -157,9 +157,16 @@ class MonoObjectPipeline:
                     p.outlier_in_object = True
 
             update_pose = obj_id not in self.reconstructed
-            T_wo_candidates = [pca["T_wo_sim3"]] if update_pose else [obj.T_wo]
             if update_pose:
-                T_wo_candidates.append(cuboid.flipped_pose(pca["T_wo_sim3"]))
+                # keep member points inside the decoder's valid domain
+                # (the 0.40*l car prior underestimates on sparse mono
+                # clouds; see cuboid.floor_scale_to_domain)
+                T_seed = cuboid.floor_scale_to_domain(
+                    pca["T_wo_sim3"], pts_w
+                )
+                T_wo_candidates = [T_seed, cuboid.flipped_pose(T_seed)]
+            else:
+                T_wo_candidates = [obj.T_wo]
 
             best = None
             for T_wo in T_wo_candidates:

@@ -65,12 +65,25 @@ def _two_stage_track(
     T_pred, last_pos, last_desc, last_level, last_dist, last_valid,
     local_pos, local_desc, local_level, local_dist, local_valid,
 ):
-    """Shared body: extraction + stereo + motion stage + local stage."""
+    """Shared stereo body: extraction + stereo + motion/local stages."""
     feats_l = orb.extract(img_l, orb_params)
     feats_r = orb.extract(img_r, orb_params)
     st = stereo.stereo_match(feats_l, feats_r, img_l, img_r, bf, max_disparity)
-    u_right = st["u_right"]
+    result = _match_stages(
+        orb_params, radii, intrinsics, feats_l, st["u_right"], T_pred,
+        last_pos, last_desc, last_level, last_dist, last_valid,
+        local_pos, local_desc, local_level, local_dist, local_valid,
+    )
+    return feats_l, st, result
 
+
+def _match_stages(
+    orb_params, radii, intrinsics, feats_l, u_right,
+    T_pred, last_pos, last_desc, last_level, last_dist, last_valid,
+    local_pos, local_desc, local_level, local_dist, local_valid,
+):
+    """Motion stage + local stage over extracted features; u_right < 0
+    everywhere gives the monocular form (no stereo reprojection term)."""
     fx, fy, cx, cy = [intrinsics[i] for i in range(4)]
     width = 2.0 * cx
     height = 2.0 * cy
@@ -118,7 +131,7 @@ def _two_stage_track(
         T1, local_pos, local_desc, local_level, local_dist, local_valid,
         radii[1],
     )
-    return feats_l, st, {
+    return {
         "T_motion": T1, "n_motion": n1,
         "T_cw": T2, "match_idx": idx2, "inlier": inl2, "n_inliers": n2,
     }
@@ -204,6 +217,18 @@ def track_frame_stereo_chained(
         T_pred, last_pos, last_desc, last_level, last_dist, last_valid,
         local_pos, local_desc, local_level, local_dist, local_valid,
     )
+    result, chain = _chain_epilogue(
+        vel_alpha, T_cw_prev, vel_prev, result,
+        local_pos, local_desc, local_level, local_dist,
+    )
+    return feats_l, st, result, chain
+
+
+def _chain_epilogue(vel_alpha, T_cw_prev, vel_prev, result,
+                    local_pos, local_desc, local_level, local_dist):
+    """Device-side velocity update + next-frame chain state."""
+    from ..ops import lie
+
     T2 = result["T_cw"]
     # smoothed constant-velocity update (Tracker._update_velocity)
     v_obs = T2 @ _se3_inverse(T_cw_prev)
@@ -214,4 +239,74 @@ def track_frame_stereo_chained(
         T2, vel_new, local_pos, local_desc, local_level, local_dist,
         result["inlier"],
     )
-    return feats_l, st, result, chain
+    return result, chain
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def track_frame_mono(
+    orb_params: orb.ORBParams,
+    radii: tuple,
+    img: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    T_pred: jnp.ndarray,
+    last_pos: jnp.ndarray,
+    last_desc: jnp.ndarray,
+    last_level: jnp.ndarray,
+    last_dist: jnp.ndarray,
+    last_valid: jnp.ndarray,
+    local_pos: jnp.ndarray,
+    local_desc: jnp.ndarray,
+    local_level: jnp.ndarray,
+    local_dist: jnp.ndarray,
+    local_valid: jnp.ndarray,
+):
+    """Monocular fused per-frame program: extraction + motion stage +
+    local stage, one dispatch + one fetch (the mono analogue of
+    track_frame_stereo; u_right < 0 drops the stereo residual term in
+    pose_opt). Requires a distortion-free camera — with lens
+    coefficients the tracker stays on the modular path, which
+    undistorts on host (Frame::UndistortKeyPoints)."""
+    feats = orb.extract(img, orb_params)
+    u_right = -jnp.ones(feats["xy"].shape[0], jnp.float32)
+    result = _match_stages(
+        orb_params, radii, intrinsics, feats, u_right, T_pred,
+        last_pos, last_desc, last_level, last_dist, last_valid,
+        local_pos, local_desc, local_level, local_dist, local_valid,
+    )
+    return feats, result
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def track_frame_mono_chained(
+    orb_params: orb.ORBParams,
+    radii: tuple,
+    vel_alpha: float,
+    img: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    T_cw_prev: jnp.ndarray,
+    vel_prev: jnp.ndarray,
+    last_pos: jnp.ndarray,
+    last_desc: jnp.ndarray,
+    last_level: jnp.ndarray,
+    last_dist: jnp.ndarray,
+    last_valid: jnp.ndarray,
+    local_pos: jnp.ndarray,
+    local_desc: jnp.ndarray,
+    local_level: jnp.ndarray,
+    local_dist: jnp.ndarray,
+    local_valid: jnp.ndarray,
+):
+    """Pipelined monocular variant (see track_frame_stereo_chained)."""
+    T_pred = vel_prev @ T_cw_prev
+    feats = orb.extract(img, orb_params)
+    u_right = -jnp.ones(feats["xy"].shape[0], jnp.float32)
+    result = _match_stages(
+        orb_params, radii, intrinsics, feats, u_right, T_pred,
+        last_pos, last_desc, last_level, last_dist, last_valid,
+        local_pos, local_desc, local_level, local_dist, local_valid,
+    )
+    result, chain = _chain_epilogue(
+        vel_alpha, T_cw_prev, vel_prev, result,
+        local_pos, local_desc, local_level, local_dist,
+    )
+    return feats, result, chain

@@ -42,6 +42,14 @@ class LocalMapperConfig:
     # filter that keeps only multi-view-confirmed points
     cull_min_obs: int = 3
     window: int = BA_KF_CAP
+    # Asynchronous local BA: the solve for keyframe k is DISPATCHED at k
+    # and its results are fetched/applied when keyframe k+1 arrives, so
+    # the (fetch + host writeback) cost overlaps ordinary tracking — the
+    # TPU-native form of the reference's mapping thread finishing BA
+    # while the tracking thread keeps running (LocalMapping.cc:55-140,
+    # mbAbortBA semantics). Loop closures drop the pending solve, the
+    # reference's abort. flush() applies it at sequence end.
+    async_ba: bool = True
 
 
 class LocalMapper:
@@ -51,6 +59,7 @@ class LocalMapper:
         self.cfg = cfg
         self.object_pipeline = object_pipeline
         self.recent_points: list[tuple[int, int]] = []  # (point_id, birth_kf)
+        self._pending_ba = None
 
     @property
     def intrinsics(self):
@@ -69,6 +78,7 @@ class LocalMapper:
         these as ~8 dispatch->fetch->host->dispatch cycles (~0.6 s
         keyframe stalls on relay-attached chips).
         """
+        self.apply_pending_ba()
         self.map.update_covisibility(kf)
         self._cull_points(kf)
         obj_pending = None
@@ -78,8 +88,26 @@ class LocalMapper:
         self._triangulate_and_fuse(kf, triangulate)
         if self.object_pipeline is not None:
             self.object_pipeline.apply_keyframe(kf, obj_pending)
-        self.local_bundle_adjust(kf)
+        if self.cfg.async_ba:
+            self._pending_ba = self.dispatch_bundle_adjust(kf)
+        else:
+            self.local_bundle_adjust(kf)
         self._cull_keyframes(kf)
+
+    def apply_pending_ba(self):
+        """Fetch + write back the previous keyframe's BA solve, if any."""
+        pending, self._pending_ba = self._pending_ba, None
+        if pending is not None:
+            self._apply_bundle_adjust(pending)
+
+    def drop_pending_ba(self):
+        """Discard an in-flight BA solve — called when a loop closure
+        rewrites the poses it was computed from (the reference's
+        mbAbortBA path, LoopClosing.cc:CorrectLoop)."""
+        self._pending_ba = None
+
+    def flush(self):
+        self.apply_pending_ba()
 
     # ------------------------------------------------------------------
     def _cull_points(self, kf: KeyFrame):
@@ -283,7 +311,15 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def local_bundle_adjust(self, kf: KeyFrame):
-        """Pack the covisibility window and run the device BA.
+        """Synchronous pack + solve + write back (async_ba=False path
+        and tests)."""
+        pending = self.dispatch_bundle_adjust(kf)
+        if pending is not None:
+            self._apply_bundle_adjust(pending)
+
+    def dispatch_bundle_adjust(self, kf: KeyFrame):
+        """Pack the covisibility window and DISPATCH the device BA
+        (no fetch — see LocalMapperConfig.async_ba).
 
         Mirrors the reference's local BA structure (Optimizer_util.cc:
         309-430): the covisibility window is optimized, and every OTHER
@@ -293,7 +329,7 @@ class LocalMapper:
         """
         window_ids = self.map.local_keyframes(kf, BA_WINDOW - 1)[:BA_WINDOW]
         if len(window_ids) < 2:
-            return
+            return None
 
         # points observed by the window, strongest first under the cap
         pt_ids = self.map.points_seen_by(window_ids)
@@ -376,7 +412,7 @@ class LocalMapper:
             )
 
         if n_obs < 20:
-            return
+            return None
 
         # objects in the window -> joint BA edges
         obj_state = None
@@ -435,19 +471,33 @@ class LocalMapper:
             jnp.asarray(obs_inv_s2), jnp.asarray(obs_valid), self.intrinsics,
             1e-3, obj_state,
         )
+        return {
+            "out": out, "kf_slot": kf_slot, "kf_fixed": kf_fixed,
+            "pt_slot": pt_slot, "obs_refs": obs_refs, "obs_valid": obs_valid,
+            "obj_slot": obj_slot if obj_state is not None else None,
+            "obj_fixed": obj_fixed if obj_state is not None else None,
+        }
 
-        # write back — but never with a diverged solution
+    def _apply_bundle_adjust(self, pending):
+        """Fetch + write back — but never with a diverged solution, and
+        never onto entities erased (culled/fused) since dispatch."""
+        out = pending["out"]
+        kf_slot, kf_fixed = pending["kf_slot"], pending["kf_fixed"]
         new_poses = np.asarray(out["kf_poses"])
         new_pts_all = np.asarray(out["points"])
         if not (np.isfinite(new_poses).all() and np.isfinite(new_pts_all).all()):
             return
         for kf_id, i in kf_slot.items():
-            if kf_fixed[i] == 0.0:
-                self.map.keyframes[kf_id].T_cw = new_poses[i]
-        for p_id, i in pt_slot.items():
-            self.map.points[p_id].position = new_pts_all[i]
+            okf = self.map.keyframes.get(kf_id)
+            if okf is not None and not okf.bad and kf_fixed[i] == 0.0:
+                okf.T_cw = new_poses[i]
+        for p_id, i in pending["pt_slot"].items():
+            p = self.map.points.get(p_id)
+            if p is not None and not p.bad:
+                p.position = new_pts_all[i]
         inlier = np.asarray(out["obs_inlier"])
-        for i, (kf_id, kp_idx, p_id) in enumerate(obs_refs):
+        obs_valid = pending["obs_valid"]
+        for i, (kf_id, kp_idx, p_id) in enumerate(pending["obs_refs"]):
             if obs_valid[i] > 0 and inlier[i] == 0:
                 p = self.map.points.get(p_id)
                 okf = self.map.keyframes.get(kf_id)
@@ -457,8 +507,10 @@ class LocalMapper:
                         okf.map_point_ids[kp_idx] = -1
                     if p.n_obs == 0:
                         self.map.erase_point(p_id)
-        if obj_state is not None:
+        if pending["obj_slot"] is not None:
             new_obj = np.asarray(out["obj_poses"])
-            for o, i in obj_slot.items():
-                if obj_fixed[i] == 0.0:
-                    self.map.objects[o].set_pose_se3(new_obj[i])
+            obj_fixed = pending["obj_fixed"]
+            for o, i in pending["obj_slot"].items():
+                obj = self.map.objects.get(o)
+                if obj is not None and not obj.bad and obj_fixed[i] == 0.0:
+                    obj.set_pose_se3(new_obj[i])

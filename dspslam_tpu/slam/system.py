@@ -28,13 +28,14 @@ class SLAMSystem:
         orb_params: orb.ORBParams | None = None,
         object_pipeline_factory=None,
         detection_source=None,
+        local_mapper_cfg: LocalMapperConfig | None = None,
     ):
         self.map = Map()
         self.tracker_cfg = tracker_cfg or TrackerConfig()
         self.tracker = Tracker(
             self.tracker_cfg, self.map, orb_params or orb.ORBParams()
         )
-        lm_cfg = LocalMapperConfig(
+        lm_cfg = local_mapper_cfg or LocalMapperConfig(
             fx=self.tracker_cfg.fx, fy=self.tracker_cfg.fy,
             cx=self.tracker_cfg.cx, cy=self.tracker_cfg.cy,
             bf=self.tracker_cfg.bf,
@@ -84,11 +85,12 @@ class SLAMSystem:
         return frame
 
     def flush(self):
-        """Drain any pipelined in-flight frame (sequence end). No-op in
-        synchronous mode."""
+        """Drain any pipelined in-flight frame and pending async BA
+        (sequence end). No-op in synchronous mode."""
         frame = self.tracker.flush()
         if frame is not None:
             self._drain_keyframes()
+        self.local_mapper.flush()
         return frame
 
     def activate_localization_mode(self):
@@ -110,7 +112,10 @@ class SLAMSystem:
                 kf.detections = self.detection_source(idx) or []
             self.local_mapper.process(kf)
             if self.loop_closer is not None:
-                self.loop_closer.insert_keyframe(kf)
+                if self.loop_closer.insert_keyframe(kf):
+                    # the loop correction rewrote the poses the pending
+                    # BA solve was computed from (reference mbAbortBA)
+                    self.local_mapper.drop_pending_ba()
         # keyframe culling may have invalidated the tracker's reference
         ref = self.tracker.ref_kf
         if ref is not None and (ref.bad or ref.id not in self.map.keyframes):
@@ -131,6 +136,7 @@ class SLAMSystem:
     # ------------------------------------------------------------------
     # savers (System_util.cc:108-149 formats)
     def save_map(self, out_dir: str):
+        self.local_mapper.flush()      # saved map includes the last BA solve
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "MapPoints.txt"), "w") as f:
             for p in self.map.points.values():

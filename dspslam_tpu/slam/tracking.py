@@ -284,25 +284,48 @@ class Tracker:
         return self._local_cache, self._local_cache_dev
 
     # ------------------------------------------------------------------
-    # pipelined steady-state path (cfg.pipelined)
+    # pipelined steady-state paths (cfg.pipelined)
+    def _seed_chain(self):
+        """Seed the device chain state from host tracking state."""
+        last_ids_raw = self.last_frame.map_point_ids
+        last_entries = self._entries_from_ids(
+            last_ids_raw[last_ids_raw >= 0]
+        )
+        _, lpos, ldesc, llvl, ldist, lval = _pack_map_points(
+            last_entries, LOCAL_POINT_CAP
+        )
+        self._chain = (
+            jnp.asarray(self.last_frame.T_cw),
+            jnp.asarray(self.velocity),
+            jnp.asarray(lpos), jnp.asarray(ldesc), jnp.asarray(llvl),
+            jnp.asarray(ldist), jnp.asarray(lval),
+        )
+
+    def _redo_poisoned(self):
+        """Re-track a poisoned in-flight frame synchronously from its
+        retained image handles (its device chain was rejected)."""
+        h = self._inflight
+        self._inflight = None
+        self._inflight_poisoned = False
+        out = None
+        if (
+            self.state == State.OK and self.velocity is not None
+            and self.last_frame is not None and self.ref_kf is not None
+        ):
+            cur_seq = self._current_seq
+            self._current_seq = h["seq"]
+            if h["mode"] == "stereo":
+                out = self._process_stereo_fused(*h["imgs"], h["timestamp"])
+            else:
+                out = self._process_mono_fused(h["imgs"][0], h["timestamp"])
+            self._current_seq = cur_seq
+        return out
+
     def _process_stereo_pipelined(self, img_l, img_r, timestamp: float):
         from . import frame_step
 
-        # a poisoned in-flight frame was dispatched from a chain the
-        # host has since rejected: re-track it synchronously from its
-        # retained image handles before touching the new frame
         if self._inflight is not None and self._inflight_poisoned:
-            h = self._inflight
-            self._inflight = None
-            self._inflight_poisoned = False
-            cur_seq = self._current_seq
-            if (
-                self.state == State.OK and self.velocity is not None
-                and self.last_frame is not None and self.ref_kf is not None
-            ):
-                self._current_seq = h["seq"]
-                self._process_stereo_fused(h["img_l"], h["img_r"], h["timestamp"])
-            self._current_seq = cur_seq
+            self._redo_poisoned()
             if self.state != State.OK:
                 return self._process_stereo_modular(img_l, img_r, timestamp)
 
@@ -310,20 +333,7 @@ class Tracker:
         jr = _upload_image(img_r)
         (cid, cpos, _, _, _, cval), dev = self._local_pack()
         if self._chain is None:
-            # seed the device chain from host state
-            last_ids_raw = self.last_frame.map_point_ids
-            last_entries = self._entries_from_ids(
-                last_ids_raw[last_ids_raw >= 0]
-            )
-            _, lpos, ldesc, llvl, ldist, lval = _pack_map_points(
-                last_entries, LOCAL_POINT_CAP
-            )
-            self._chain = (
-                jnp.asarray(self.last_frame.T_cw),
-                jnp.asarray(self.velocity),
-                jnp.asarray(lpos), jnp.asarray(ldesc), jnp.asarray(llvl),
-                jnp.asarray(ldist), jnp.asarray(lval),
-            )
+            self._seed_chain()
         feats_j, st_j, result_j, chain = frame_step.track_frame_stereo_chained(
             self.orb_params,
             (float(self.cfg.search_radius_motion),
@@ -334,9 +344,40 @@ class Tracker:
         )
         prev = self._inflight
         self._inflight = {
-            "seq": self._current_seq, "timestamp": timestamp,
-            "img_l": jl, "img_r": jr,
+            "mode": "stereo", "seq": self._current_seq,
+            "timestamp": timestamp, "imgs": (jl, jr),
             "feats_j": feats_j, "st_j": st_j, "result_j": result_j,
+            "cid": cid, "cpos": cpos, "cval": cval,
+        }
+        self._chain = chain
+        if prev is not None:
+            return self._finalize_inflight(prev)
+        return None
+
+    def _process_mono_pipelined(self, img, timestamp: float):
+        from . import frame_step
+
+        if self._inflight is not None and self._inflight_poisoned:
+            self._redo_poisoned()
+            if self.state != State.OK:
+                return self._process_mono_modular(img, timestamp)
+
+        j = _upload_image(img)
+        (cid, cpos, _, _, _, cval), dev = self._local_pack()
+        if self._chain is None:
+            self._seed_chain()
+        feats_j, result_j, chain = frame_step.track_frame_mono_chained(
+            self.orb_params,
+            (float(self.cfg.search_radius_motion),
+             float(self.cfg.search_radius_local)),
+            float(self.cfg.velocity_smoothing),
+            j, self.cfg.intrinsics, *self._chain, *dev,
+        )
+        prev = self._inflight
+        self._inflight = {
+            "mode": "mono", "seq": self._current_seq,
+            "timestamp": timestamp, "imgs": (j,),
+            "feats_j": feats_j, "st_j": None, "result_j": result_j,
             "cid": cid, "cpos": cpos, "cval": cval,
         }
         self._chain = chain
@@ -347,12 +388,16 @@ class Tracker:
     def _finalize_inflight(self, h) -> Frame:
         """Fetch + host bookkeeping for a dispatched frame (runs one
         frame behind in pipelined mode)."""
-        feats, st, result = jax.device_get(
-            (h["feats_j"], h["st_j"], h["result_j"])
-        )
-        frame = Frame(
-            h["timestamp"], feats, depth=st["depth"], u_right=st["u_right"]
-        )
+        if h["st_j"] is not None:
+            feats, st, result = jax.device_get(
+                (h["feats_j"], h["st_j"], h["result_j"])
+            )
+            frame = Frame(
+                h["timestamp"], feats, depth=st["depth"], u_right=st["u_right"]
+            )
+        else:
+            feats, result = jax.device_get((h["feats_j"], h["result_j"]))
+            frame = Frame(h["timestamp"], feats)
         cur_seq = self._current_seq
         self._current_seq = h["seq"]
         frame, ok = self._apply_fused_result(
@@ -373,21 +418,11 @@ class Tracker:
         switches). Returns the finalized frame, if any."""
         out = None
         if self._inflight is not None:
-            h = self._inflight
-            self._inflight = None
             if self._inflight_poisoned:
-                self._inflight_poisoned = False
-                if (
-                    self.state == State.OK and self.velocity is not None
-                    and self.last_frame is not None and self.ref_kf is not None
-                ):
-                    cur_seq = self._current_seq
-                    self._current_seq = h["seq"]
-                    out = self._process_stereo_fused(
-                        h["img_l"], h["img_r"], h["timestamp"]
-                    )
-                    self._current_seq = cur_seq
+                out = self._redo_poisoned()
             else:
+                h = self._inflight
+                self._inflight = None
                 out = self._finalize_inflight(h)
         return out
 
@@ -433,14 +468,65 @@ class Tracker:
         self._track(frame)
         return frame
 
-    def process_mono(self, img: np.ndarray, timestamp: float) -> Frame:
+    def process_mono(self, img: np.ndarray, timestamp: float) -> Frame | None:
+        """Monocular per-frame tracking. Steady state runs the fused
+        one-program path (pipelined under cfg.pipelined) when the camera
+        is distortion-free; lens-distorted cameras stay modular (the
+        fused program matches raw pixel coords, but geometry needs the
+        host-undistorted ones — Frame::UndistortKeyPoints)."""
+        from ..frontend import undistort
+
         self._current_seq = self.frame_seq
         self.frame_seq += 1
+        steady = (
+            self.state == State.OK
+            and self.ref_kf is not None
+            and not undistort.has_distortion(self.cfg.dist_coeffs)
+            and (
+                self._chain is not None
+                or (self.velocity is not None and self.last_frame is not None)
+            )
+        )
+        if self.cfg.pipelined:
+            if steady:
+                return self._process_mono_pipelined(img, timestamp)
+            self.flush()
+            return self._process_mono_modular(img, timestamp)
+        if steady and self.velocity is not None and self.last_frame is not None:
+            return self._process_mono_fused(img, timestamp)
+        return self._process_mono_modular(img, timestamp)
+
+    def _process_mono_modular(self, img, timestamp: float) -> Frame:
         feats_j = orb.extract(_upload_image(img), self.orb_params)
         feats = {k: np.asarray(v) for k, v in feats_j.items()}
         self._undistort_feats(feats)
         frame = Frame(timestamp, feats)
         self._track(frame, mono=True)
+        return frame
+
+    def _process_mono_fused(self, img, timestamp: float) -> Frame:
+        from . import frame_step
+
+        j = _upload_image(img)
+        last_ids_raw = self.last_frame.map_point_ids
+        last_entries = self._entries_from_ids(last_ids_raw[last_ids_raw >= 0])
+        lid, lpos, ldesc, llvl, ldist, lval = _pack_map_points(
+            last_entries, LOCAL_POINT_CAP
+        )
+        (cid, cpos, _, _, _, cval), dev = self._local_pack()
+        T_pred = (self.velocity @ self.last_frame.T_cw).astype(np.float32)
+        feats_j, result_j = frame_step.track_frame_mono(
+            self.orb_params,
+            (float(self.cfg.search_radius_motion),
+             float(self.cfg.search_radius_local)),
+            j, self.cfg.intrinsics, jnp.asarray(T_pred),
+            jnp.asarray(lpos), jnp.asarray(ldesc), jnp.asarray(llvl),
+            jnp.asarray(ldist), jnp.asarray(lval),
+            *dev,
+        )
+        feats, result = jax.device_get((feats_j, result_j))
+        frame = Frame(timestamp, feats)
+        frame, _ = self._apply_fused_result(frame, result, cid, cpos, cval)
         return frame
 
     def _undistort_feats(self, feats):
