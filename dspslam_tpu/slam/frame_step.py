@@ -276,6 +276,93 @@ def track_frame_mono(
     return feats, result
 
 
+def _rgbd_stereo_from_depth(feats, depth_img, bf):
+    """Per-keypoint depth lookup (nearest pixel, the sensor image) and
+    virtual right-view coordinate (Frame::ComputeStereoFromRGBD)."""
+    H, W = depth_img.shape
+    xy = feats["xy"]
+    xs = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, W - 1)
+    ys = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, H - 1)
+    d = depth_img[ys, xs].astype(jnp.float32)
+    live = (feats["valid"] > 0) & (d > 0)
+    d = jnp.where(live, d, -1.0)
+    u_right = jnp.where(
+        live, xy[:, 0] - bf / jnp.maximum(d, 1e-6), -1.0
+    )
+    return {"depth": d, "u_right": u_right}
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def track_frame_rgbd(
+    orb_params: orb.ORBParams,
+    radii: tuple,
+    img: jnp.ndarray,
+    depth_img: jnp.ndarray,
+    bf: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    T_pred: jnp.ndarray,
+    last_pos: jnp.ndarray,
+    last_desc: jnp.ndarray,
+    last_level: jnp.ndarray,
+    last_dist: jnp.ndarray,
+    last_valid: jnp.ndarray,
+    local_pos: jnp.ndarray,
+    local_desc: jnp.ndarray,
+    local_level: jnp.ndarray,
+    local_dist: jnp.ndarray,
+    local_valid: jnp.ndarray,
+):
+    """RGB-D fused per-frame program: extraction + depth lookup +
+    motion/local stages in one dispatch (distortion-free cameras; the
+    virtual u_right feeds the same stereo residual as true stereo)."""
+    feats = orb.extract(img, orb_params)
+    st = _rgbd_stereo_from_depth(feats, depth_img, bf)
+    result = _match_stages(
+        orb_params, radii, intrinsics, feats, st["u_right"], T_pred,
+        last_pos, last_desc, last_level, last_dist, last_valid,
+        local_pos, local_desc, local_level, local_dist, local_valid,
+    )
+    return feats, st, result
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def track_frame_rgbd_chained(
+    orb_params: orb.ORBParams,
+    radii: tuple,
+    vel_alpha: float,
+    img: jnp.ndarray,
+    depth_img: jnp.ndarray,
+    bf: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    T_cw_prev: jnp.ndarray,
+    vel_prev: jnp.ndarray,
+    last_pos: jnp.ndarray,
+    last_desc: jnp.ndarray,
+    last_level: jnp.ndarray,
+    last_dist: jnp.ndarray,
+    last_valid: jnp.ndarray,
+    local_pos: jnp.ndarray,
+    local_desc: jnp.ndarray,
+    local_level: jnp.ndarray,
+    local_dist: jnp.ndarray,
+    local_valid: jnp.ndarray,
+):
+    """Pipelined RGB-D variant (see track_frame_stereo_chained)."""
+    T_pred = vel_prev @ T_cw_prev
+    feats = orb.extract(img, orb_params)
+    st = _rgbd_stereo_from_depth(feats, depth_img, bf)
+    result = _match_stages(
+        orb_params, radii, intrinsics, feats, st["u_right"], T_pred,
+        last_pos, last_desc, last_level, last_dist, last_valid,
+        local_pos, local_desc, local_level, local_dist, local_valid,
+    )
+    result, chain = _chain_epilogue(
+        vel_alpha, T_cw_prev, vel_prev, result,
+        local_pos, local_desc, local_level, local_dist,
+    )
+    return feats, st, result, chain
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def track_frame_mono_chained(
     orb_params: orb.ORBParams,

@@ -316,6 +316,8 @@ class Tracker:
             self._current_seq = h["seq"]
             if h["mode"] == "stereo":
                 out = self._process_stereo_fused(*h["imgs"], h["timestamp"])
+            elif h["mode"] == "rgbd":
+                out = self._process_rgbd_fused(*h["imgs"], h["timestamp"])
             else:
                 out = self._process_mono_fused(h["imgs"][0], h["timestamp"])
             self._current_seq = cur_seq
@@ -450,9 +452,97 @@ class Tracker:
         return frame
 
     def process_rgbd(self, img: np.ndarray, depth: np.ndarray,
-                     timestamp: float) -> Frame:
+                     timestamp: float) -> Frame | None:
+        """RGB-D per-frame tracking. Steady state runs the fused
+        one-program path with on-device depth lookup (pipelined under
+        cfg.pipelined) for distortion-free cameras; distorted cameras
+        stay modular (host undistortion after raw-pixel depth lookup)."""
+        from ..frontend import undistort
+
         self._current_seq = self.frame_seq
         self.frame_seq += 1
+        steady = (
+            self.state == State.OK
+            and self.ref_kf is not None
+            and not undistort.has_distortion(self.cfg.dist_coeffs)
+            and (
+                self._chain is not None
+                or (self.velocity is not None and self.last_frame is not None)
+            )
+        )
+        if self.cfg.pipelined:
+            if steady:
+                return self._process_rgbd_pipelined(img, depth, timestamp)
+            self.flush()
+            return self._process_rgbd_modular(img, depth, timestamp)
+        if steady and self.velocity is not None and self.last_frame is not None:
+            return self._process_rgbd_fused(img, depth, timestamp)
+        return self._process_rgbd_modular(img, depth, timestamp)
+
+    def _process_rgbd_fused(self, img, depth, timestamp: float) -> Frame:
+        from . import frame_step
+
+        j = _upload_image(img)
+        jd = depth if isinstance(depth, jnp.ndarray) \
+            else jnp.asarray(depth, jnp.float32)
+        last_ids_raw = self.last_frame.map_point_ids
+        last_entries = self._entries_from_ids(last_ids_raw[last_ids_raw >= 0])
+        lid, lpos, ldesc, llvl, ldist, lval = _pack_map_points(
+            last_entries, LOCAL_POINT_CAP
+        )
+        (cid, cpos, _, _, _, cval), dev = self._local_pack()
+        T_pred = (self.velocity @ self.last_frame.T_cw).astype(np.float32)
+        feats_j, st_j, result_j = frame_step.track_frame_rgbd(
+            self.orb_params,
+            (float(self.cfg.search_radius_motion),
+             float(self.cfg.search_radius_local)),
+            j, jd, jnp.float32(self.cfg.bf), self.cfg.intrinsics,
+            jnp.asarray(T_pred),
+            jnp.asarray(lpos), jnp.asarray(ldesc), jnp.asarray(llvl),
+            jnp.asarray(ldist), jnp.asarray(lval),
+            *dev,
+        )
+        feats, st, result = jax.device_get((feats_j, st_j, result_j))
+        frame = Frame(timestamp, feats, depth=st["depth"], u_right=st["u_right"])
+        frame, _ = self._apply_fused_result(frame, result, cid, cpos, cval)
+        return frame
+
+    def _process_rgbd_pipelined(self, img, depth, timestamp: float):
+        from . import frame_step
+
+        if self._inflight is not None and self._inflight_poisoned:
+            self._redo_poisoned()
+            if self.state != State.OK:
+                return self._process_rgbd_modular(img, depth, timestamp)
+
+        j = _upload_image(img)
+        jd = depth if isinstance(depth, jnp.ndarray) \
+            else jnp.asarray(depth, jnp.float32)
+        (cid, cpos, _, _, _, cval), dev = self._local_pack()
+        if self._chain is None:
+            self._seed_chain()
+        feats_j, st_j, result_j, chain = frame_step.track_frame_rgbd_chained(
+            self.orb_params,
+            (float(self.cfg.search_radius_motion),
+             float(self.cfg.search_radius_local)),
+            float(self.cfg.velocity_smoothing),
+            j, jd, jnp.float32(self.cfg.bf), self.cfg.intrinsics,
+            *self._chain, *dev,
+        )
+        prev = self._inflight
+        self._inflight = {
+            "mode": "rgbd", "seq": self._current_seq,
+            "timestamp": timestamp, "imgs": (j, jd),
+            "feats_j": feats_j, "st_j": st_j, "result_j": result_j,
+            "cid": cid, "cpos": cpos, "cval": cval,
+        }
+        self._chain = chain
+        if prev is not None:
+            return self._finalize_inflight(prev)
+        return None
+
+    def _process_rgbd_modular(self, img: np.ndarray, depth: np.ndarray,
+                              timestamp: float) -> Frame:
         feats_j = orb.extract(_upload_image(img), self.orb_params)
         feats = {k: np.asarray(v) for k, v in feats_j.items()}
         # depth lookup uses RAW pixel coords (the sensor image); geometry

@@ -72,3 +72,31 @@ def test_rgbd_tracking():
     z = pos[:, 2]
     assert (np.abs(z - FAR_Z) < 0.5).sum() > 50
     assert (np.abs(z - NEAR_Z) < 0.5).sum() > 5
+
+
+@pytest.mark.parametrize("pipelined", [False, True])
+def test_rgbd_fused_and_pipelined(pipelined):
+    """Steady-state RGB-D runs the fused one-program path (on-device
+    depth lookup); with pipelined=True it runs one frame behind. Both
+    must track like the modular path."""
+    world = world_and_depth(seed=9)
+    cfg = TrackerConfig(
+        fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, width=W, height=H,
+        min_init_features=150, max_frames_between_kf=3,
+        pipelined=pipelined,
+    )
+    system = SLAMSystem(
+        tracker_cfg=cfg, orb_params=orb.ORBParams(n_features=500, n_levels=3)
+    )
+    xs = [k * 0.12 for k in range(8)]
+    for k, x in enumerate(xs):
+        img, depth = render_rgbd(world, x)
+        system.track_rgbd(img, depth, 0.1 * k)
+    system.flush()
+    assert system.state == State.OK
+    assert len(system.tracker.trajectory) == len(xs)
+    est = np.asarray([
+        (-T[:3, :3].T @ T[:3, 3])[0] for _, T, _ in system.tracker.trajectory
+    ])
+    err = est - np.asarray(xs)
+    assert np.sqrt(np.mean(err**2)) < 0.05, err
