@@ -91,6 +91,9 @@ def main(argv=None):
                    help="disable one-frame-lag pipelined tracking")
     p.add_argument("--sync_ba", action="store_true",
                    help="apply local BA synchronously at each keyframe")
+    p.add_argument("--async_kf", action="store_true",
+                   help="spread keyframe work over subsequent frames "
+                   "(bounds worst-case latency; raises the median)")
     args = p.parse_args(argv)
 
     world = build_world()
@@ -125,6 +128,7 @@ def main(argv=None):
         local_mapper_cfg=LocalMapperConfig(
             fx=FX, fy=FY, cx=CX, cy=CY, bf=BF,
             async_ba=not args.sync_ba,
+            async_keyframe=args.async_kf,
         ),
     )
 

@@ -47,6 +47,11 @@ def main(argv=None):
     p.add_argument("--config")
     p.add_argument("--voxels_dim", type=int, default=64)
     p.add_argument("--output_dir", default=None)
+    p.add_argument(
+        "--shard", action="store_true",
+        help="shard the voxel-grid decode across all devices "
+        "(parallel.mesh_utils dp mesh)",
+    )
     args = p.parse_args(argv)
 
     system_cfg = (
@@ -58,9 +63,15 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
 
     objs = load_map_objects(os.path.join(args.map_dir, "MapObjects.txt"))
+    device_mesh = None
+    if args.shard:
+        from ..parallel.mesh_utils import make_mesh
+
+        device_mesh = make_mesh(tp=1)
     extractor = mesh_mod.MeshExtractor(
         decoder_fn, decoder_params,
         code_len=system_cfg.optimizer.code_len, voxels_dim=args.voxels_dim,
+        mesh=device_mesh,
     )
     for obj_id, Two, code in objs:
         m = extractor.extract_mesh_from_code(code)

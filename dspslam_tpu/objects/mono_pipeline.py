@@ -34,6 +34,11 @@ MIN_VOTES = 5
 
 
 class MonoObjectPipeline:
+    # association votes with map points inside the detection mask, so the
+    # LocalMapper must apply this keyframe's triangulation synchronously
+    # before apply_keyframe (disables the deferred keyframe pipeline)
+    uses_map_points = True
+
     def __init__(
         self,
         slam_map: Map,

@@ -54,6 +54,36 @@ def decode_sdf_grid(decoder_fn, decoder_params, code: jnp.ndarray, vol_dim: int)
     return sdf.reshape(vol_dim, vol_dim, vol_dim)
 
 
+def decode_sdf_grid_sharded(
+    decoder_fn, decoder_params, code: jnp.ndarray, vol_dim: int, mesh
+):
+    """Multi-chip SDF grid decode: the vol_dim^3 query points shard over
+    the mesh's 'dp' axis, so each device decodes one slab of the volume
+    (the decoder weights ride along replicated or tensor-parallel — see
+    parallel.mesh_utils.decoder_param_sharding); XLA inserts the final
+    gather over ICI. The per-object mesh-extraction analogue of the
+    reference's single-GPU decode_sdf chunking (loss_utils.py:51-79)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pts = jnp.asarray(create_voxel_grid(vol_dim))
+    n = pts.shape[0]
+    dp = mesh.shape["dp"]
+    pad = (-n) % dp
+    pts_p = jnp.pad(pts, ((0, pad), (0, 0)))
+    pts_sharded = jax.device_put(pts_p, NamedSharding(mesh, P("dp", None)))
+    L = code.shape[0]
+
+    @jax.jit
+    def run(p, c):
+        inp = jnp.concatenate(
+            [jnp.broadcast_to(c, (p.shape[0], L)), p], axis=-1
+        )
+        return decoder_fn(decoder_params, inp)
+
+    sdf = run(pts_sharded, jnp.asarray(code)[:L])[:n]
+    return sdf.reshape(vol_dim, vol_dim, vol_dim)
+
+
 # ---------------------------------------------------------------------------
 # Host-side marching tetrahedra
 
@@ -186,16 +216,26 @@ def marching_tetrahedra(sdf: np.ndarray, level: float = 0.0):
 class MeshExtractor:
     """Code -> mesh, mirroring the reference MeshExtractor API."""
 
-    def __init__(self, decoder_fn, decoder_params, code_len: int = 64, voxels_dim: int = 64):
+    def __init__(self, decoder_fn, decoder_params, code_len: int = 64,
+                 voxels_dim: int = 64, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a 'dp' axis — voxel
+        queries shard across devices (decode_sdf_grid_sharded)."""
         self.decoder_fn = decoder_fn
         self.decoder_params = decoder_params
         self.code_len = code_len
         self.voxels_dim = voxels_dim
+        self.mesh = mesh
 
     def extract_mesh_from_code(self, code):
         code = jnp.asarray(code)[: self.code_len]
-        sdf = decode_sdf_grid(
-            self.decoder_fn, self.decoder_params, code, self.voxels_dim
-        )
+        if self.mesh is not None:
+            sdf = decode_sdf_grid_sharded(
+                self.decoder_fn, self.decoder_params, code,
+                self.voxels_dim, self.mesh,
+            )
+        else:
+            sdf = decode_sdf_grid(
+                self.decoder_fn, self.decoder_params, code, self.voxels_dim
+            )
         vertices, faces = marching_tetrahedra(np.asarray(sdf), 0.0)
         return {"vertices": vertices, "faces": faces}

@@ -50,6 +50,20 @@ class LocalMapperConfig:
     # mbAbortBA semantics). Loop closures drop the pending solve, the
     # reference's abort. flush() applies it at sequence end.
     async_ba: bool = True
+    # Spread the whole keyframe pipeline over subsequent frames: the
+    # keyframe frame only DISPATCHES triangulation+fusion; poll() (one
+    # call per tracked frame, System.track_*) applies it a frame later
+    # (its compute has overlapped tracking by then) and dispatches BA,
+    # which applies another frame later. Turns the ~0.4 s keyframe
+    # latency spike into three ~0.15 s steps — the cooperative-
+    # scheduling form of the reference's mapping thread draining its
+    # queue across tracked frames. Trade-off measured on one v5e:
+    # worst-case frame 400 -> ~150 ms and mean 141 -> 126 ms, but the
+    # MEDIAN frame rises (poll work lands on otherwise-clean frames) —
+    # enable for deadline-bound real-time pacing; leave off to maximize
+    # typical-frame throughput. Auto-disabled when the object pipeline
+    # votes with map points (mono: association needs fresh points).
+    async_keyframe: bool = False
 
 
 class LocalMapper:
@@ -60,6 +74,9 @@ class LocalMapper:
         self.object_pipeline = object_pipeline
         self.recent_points: list[tuple[int, int]] = []  # (point_id, birth_kf)
         self._pending_ba = None
+        self._pending_tri = None
+        self._ba_kf = None            # KF whose BA dispatch awaits tri apply
+        self._skip_polls = 0          # freshness: let dispatched work overlap
 
     @property
     def intrinsics(self):
@@ -78,21 +95,57 @@ class LocalMapper:
         these as ~8 dispatch->fetch->host->dispatch cycles (~0.6 s
         keyframe stalls on relay-attached chips).
         """
-        self.apply_pending_ba()
+        self.flush()                 # drain anything from the previous KF
         self.map.update_covisibility(kf)
         self._cull_points(kf)
         obj_pending = None
         if self.object_pipeline is not None:
             local_ids = self.map.local_keyframes(kf, self.cfg.window)
             obj_pending = self.object_pipeline.dispatch_keyframe(kf, local_ids)
-        self._triangulate_and_fuse(kf, triangulate)
+        defer = (
+            self.cfg.async_keyframe
+            and not getattr(self.object_pipeline, "uses_map_points", False)
+        )
+        if defer:
+            self._pending_tri = self._dispatch_triangulate(kf, triangulate)
+        else:
+            self._triangulate_and_fuse(kf, triangulate)
         if self.object_pipeline is not None:
             self.object_pipeline.apply_keyframe(kf, obj_pending)
-        if self.cfg.async_ba:
+        if defer:
+            # BA must see the triangulated points: dispatched by poll()
+            # right after the triangulation applies
+            self._ba_kf = kf
+            self._skip_polls = 1
+        elif self.cfg.async_ba:
             self._pending_ba = self.dispatch_bundle_adjust(kf)
+            self._skip_polls = 1
         else:
             self.local_bundle_adjust(kf)
         self._cull_keyframes(kf)
+
+    def poll(self):
+        """One deferred-stage step; called once per tracked frame
+        (System.track_*). Applies at most one pending result so each
+        frame absorbs a bounded slice of keyframe work; a just-
+        dispatched program gets one frame of overlap before its fetch."""
+        if self._skip_polls > 0:
+            self._skip_polls -= 1
+            return
+        if self._pending_tri is not None:
+            pending, self._pending_tri = self._pending_tri, None
+            self._apply_triangulate(pending)
+            if self._ba_kf is not None:
+                kf, self._ba_kf = self._ba_kf, None
+                if not kf.bad:
+                    if self.cfg.async_ba:
+                        self._pending_ba = self.dispatch_bundle_adjust(kf)
+                        self._skip_polls = 1
+                    else:
+                        self.local_bundle_adjust(kf)
+            return
+        if self._pending_ba is not None:
+            self.apply_pending_ba()
 
     def apply_pending_ba(self):
         """Fetch + write back the previous keyframe's BA solve, if any."""
@@ -101,12 +154,23 @@ class LocalMapper:
             self._apply_bundle_adjust(pending)
 
     def drop_pending_ba(self):
-        """Discard an in-flight BA solve — called when a loop closure
-        rewrites the poses it was computed from (the reference's
+        """Discard in-flight solves — called when a loop closure
+        rewrites the poses they were computed from (the reference's
         mbAbortBA path, LoopClosing.cc:CorrectLoop)."""
         self._pending_ba = None
+        self._pending_tri = None
+        self._ba_kf = None
 
     def flush(self):
+        """Drain all deferred keyframe stages in order."""
+        self._skip_polls = 0
+        if self._pending_tri is not None:
+            pending, self._pending_tri = self._pending_tri, None
+            self._apply_triangulate(pending)
+        if self._ba_kf is not None:
+            kf, self._ba_kf = self._ba_kf, None
+            if not kf.bad:
+                self._pending_ba = self.dispatch_bundle_adjust(kf)
         self.apply_pending_ba()
 
     # ------------------------------------------------------------------
@@ -131,11 +195,17 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def _triangulate_and_fuse(self, kf: KeyFrame, triangulate: bool = True):
+        """Synchronous dispatch + apply (async_keyframe=False path)."""
+        pending = self._dispatch_triangulate(kf, triangulate)
+        if pending is not None:
+            self._apply_triangulate(pending)
+
+    def _dispatch_triangulate(self, kf: KeyFrame, triangulate: bool = True):
         """Epipolar triangulation against strong covisible keyframes
         (LocalMapping::CreateNewMapPoints, LocalMapping.cc:258-450) and
         duplicate fusion (SearchInNeighbors + ORBmatcher::Fuse) in ONE
-        fused device program (slam.keyframe_step); the host only applies
-        the pre-validated results to the map."""
+        fused device program (slam.keyframe_step), dispatch only; the
+        host applies the pre-validated results in _apply_triangulate."""
         import jax.numpy as jnp
 
         from ..slam.map import MapPoint
@@ -197,7 +267,7 @@ class LocalMapper:
             fuse_desc[:n_f] = np.stack([p.descriptor for p in pts])
 
         if not neighbors and not n_f:
-            return
+            return None
 
         out = keyframe_step.keyframe_matching(
             {k: jnp.asarray(v) for k, v in kf.feats.items()},
@@ -213,12 +283,26 @@ class LocalMapper:
             jnp.asarray(fuse_desc), jnp.zeros(C, jnp.int32),
             self.intrinsics,
         )
-        out = {k: np.asarray(v) for k, v in out.items()}
+        return {"out": out, "kf": kf, "neighbors": neighbors,
+                "pts": pts, "n_f": n_f}
+
+    def _apply_triangulate(self, pending):
+        from ..slam.map import MapPoint
+
+        out = {k: np.asarray(v) for k, v in pending["out"].items()}
+        kf = pending["kf"]
+        neighbors = pending["neighbors"]
+        pts = pending["pts"]
+        n_f = pending["n_f"]
+        if kf.bad:
+            return
 
         # mint triangulated points (host bookkeeping only)
         created = []
         cam = kf.camera_center()
         for i_nb, other in enumerate(neighbors):
+            if other.bad:      # culled since dispatch (async path)
+                continue
             idx = out["tri_idx"][i_nb]
             X = out["tri_X"][i_nb]
             ok = out["tri_ok"][i_nb]

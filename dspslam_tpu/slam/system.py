@@ -69,18 +69,21 @@ class SLAMSystem:
     def track_stereo(self, img_l, img_r, timestamp: float):
         frame = self.tracker.process_stereo(img_l, img_r, timestamp)
         self._drain_keyframes()
+        self.local_mapper.poll()
         self.frame_idx += 1
         return frame
 
     def track_mono(self, img, timestamp: float):
         frame = self.tracker.process_mono(img, timestamp)
         self._drain_keyframes()
+        self.local_mapper.poll()
         self.frame_idx += 1
         return frame
 
     def track_rgbd(self, img, depth, timestamp: float):
         frame = self.tracker.process_rgbd(img, depth, timestamp)
         self._drain_keyframes()
+        self.local_mapper.poll()
         self.frame_idx += 1
         return frame
 

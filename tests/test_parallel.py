@@ -80,3 +80,41 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestShardedMeshDecode:
+    def test_sharded_sdf_grid_matches_unsharded(self):
+        import numpy as np
+
+        from dspslam_tpu.models import deepsdf
+        from dspslam_tpu.parallel import mesh_utils
+        from dspslam_tpu.shape import mesh as mesh_mod
+
+        params = deepsdf.make_sphere_params(code_len=8)
+        code = np.zeros(8, np.float32)
+        code[0] = 0.5
+        ref = np.asarray(mesh_mod.decode_sdf_grid(
+            deepsdf.sphere_decoder_fn, params, code, 17
+        ))
+        dev_mesh = mesh_utils.make_mesh(8, tp=1)
+        got = np.asarray(mesh_mod.decode_sdf_grid_sharded(
+            deepsdf.sphere_decoder_fn, params, code, 17, dev_mesh
+        ))
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    def test_extractor_with_mesh_produces_sphere(self):
+        import numpy as np
+
+        from dspslam_tpu.models import deepsdf
+        from dspslam_tpu.parallel import mesh_utils
+        from dspslam_tpu.shape import mesh as mesh_mod
+
+        params = deepsdf.make_sphere_params(code_len=8)
+        ex = mesh_mod.MeshExtractor(
+            deepsdf.sphere_decoder_fn, params, code_len=8, voxels_dim=25,
+            mesh=mesh_utils.make_mesh(8, tp=1),
+        )
+        m = ex.extract_mesh_from_code(np.zeros(8, np.float32))
+        r = np.linalg.norm(m["vertices"], axis=-1)
+        assert len(r) > 100
+        np.testing.assert_allclose(r.mean(), 0.5, atol=0.03)

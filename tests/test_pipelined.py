@@ -46,12 +46,17 @@ def render(world, cam_x, baseline_m=0.0):
     return img
 
 
-def run(pipelined: bool, detection_log=None):
+def run(pipelined: bool, detection_log=None, async_keyframe=False):
+    from dspslam_tpu.slam.local_mapping import LocalMapperConfig
+
     world = textured_world()
     cfg = TrackerConfig(
         fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, width=W, height=H,
         min_init_features=150, max_frames_between_kf=4,
         pipelined=pipelined,
+    )
+    lm_cfg = LocalMapperConfig(
+        fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, async_keyframe=async_keyframe,
     )
     detection_source = None
     if detection_log is not None:
@@ -62,6 +67,7 @@ def run(pipelined: bool, detection_log=None):
         tracker_cfg=cfg, orb_params=orb.ORBParams(n_features=600, n_levels=4),
         detection_source=detection_source,
         object_pipeline_factory=None,
+        local_mapper_cfg=lm_cfg,
     )
     for k in range(N_FRAMES):
         system.track_stereo(
@@ -113,6 +119,27 @@ class TestPipelinedParity:
         assert len(pipe.map.keyframes) >= 2
         n_s, n_p = len(sync.map.points), len(pipe.map.points)
         assert abs(n_s - n_p) / max(n_s, 1) < 0.3, (n_s, n_p)
+
+
+class TestAsyncKeyframePipeline:
+    """async_keyframe=True: triangulation applies one frame after the
+    keyframe, local BA one frame later still (poll()) — trajectory and
+    map quality must match the synchronous keyframe path."""
+
+    def test_matches_synchronous_quality(self):
+        sync = run(True, async_keyframe=False)
+        deferred = run(True, async_keyframe=True)
+        assert deferred.state == State.OK
+        true_x = np.arange(N_FRAMES) * STEP
+        for system in (sync, deferred):
+            est = np.array([
+                (-T[:3, :3].T @ T[:3, 3])[0]
+                for _, T, _ in system.tracker.trajectory
+            ])
+            rmse = float(np.sqrt(np.mean((est - true_x) ** 2)))
+            assert rmse < 0.05, rmse
+        n_s, n_d = len(sync.map.points), len(deferred.map.points)
+        assert abs(n_s - n_d) / max(n_s, 1) < 0.3, (n_s, n_d)
 
 
 def run_mono(pipelined: bool):
