@@ -78,6 +78,11 @@ class LoopCloser:
         self.last_loop_kf_id = -1
         self._consistent: dict[int, int] = {}   # candidate kf_id -> streak
         self.loops_closed = 0
+        # global BA runs in the background of subsequent frames (the
+        # reference backgrounds it on a thread, LoopClosing_util.cc:213):
+        # dispatched at loop closure, applied by poll()/flush()
+        self._pending_gba = None
+        self._gba_skip = 0
 
     # ------------------------------------------------------------------
     def insert_keyframe(self, kf) -> bool:
@@ -212,7 +217,31 @@ class LoopCloser:
         loop_kf.loop_edges.add(kf.id)
         self._fuse_objects(kf, loop_kf, corrections)
         self._optimize_essential_graph(kf, loop_kf, corrections)
-        self._global_ba(kf, loop_kf)
+        self._pending_gba = self._dispatch_global_ba(kf, loop_kf)
+        self._gba_skip = 1
+        if self._pending_gba is not None:
+            from ..slam.tracking import _prefetch_to_host
+
+            _prefetch_to_host(self._pending_gba["out"])
+
+    def poll(self):
+        """Apply a backgrounded global BA once its solve has had a frame
+        to overlap tracking (System.track_* calls this per frame)."""
+        if self._pending_gba is None:
+            return
+        if self._gba_skip > 0:
+            self._gba_skip -= 1
+            return
+        pending, self._pending_gba = self._pending_gba, None
+        self._apply_global_ba(pending)
+
+    def flush(self):
+        """Force-apply a backgrounded global BA (before the next
+        keyframe's mapping work, at sequence end, before saving)."""
+        self._gba_skip = 0
+        if self._pending_gba is not None:
+            pending, self._pending_gba = self._pending_gba, None
+            self._apply_global_ba(pending)
 
     @staticmethod
     def _move_object(obj, S_before, S_wi_after):
@@ -454,10 +483,17 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def _global_ba(self, kf, loop_kf):
+        """Synchronous dispatch + apply (tests / direct callers)."""
+        pending = self._dispatch_global_ba(kf, loop_kf)
+        if pending is not None:
+            self._apply_global_ba(pending)
+
+    def _dispatch_global_ba(self, kf, loop_kf):
         """Global joint BA windowed around the loop, with camera-object
-        edges; corrections propagate to out-of-window keyframes, points
-        and objects through the spanning tree (GlobalJointBundleAdjustemnt
-        + LoopClosing_util.cc:295-423)."""
+        edges, DISPATCH only; corrections propagate to out-of-window
+        keyframes, points and objects through the spanning tree at apply
+        time (GlobalJointBundleAdjustemnt + LoopClosing_util.cc:295-423,
+        which backgrounds exactly this solve on a thread)."""
         kf_ids = self._loop_window(kf, loop_kf, GBA_KF_CAP)
         slot = {k: i for i, k in enumerate(kf_ids)}
         K = GBA_KF_CAP
@@ -504,7 +540,7 @@ class LoopCloser:
                 obs_valid[m] = 1.0
                 m += 1
         if m < 50:
-            return
+            return None
 
         # objects observed by window keyframes -> joint camera-object edges
         # (GlobalJointBundleAdjustemnt includes them, Optimizer_util.cc:36-42)
@@ -558,32 +594,49 @@ class LoopCloser:
             jnp.asarray(obs), jnp.asarray(obs_stereo), jnp.asarray(obs_is2),
             jnp.asarray(obs_valid), self.intrinsics, 1e-3, obj_state, (10,),
         )
+        return {
+            "out": out, "slot": slot, "kf_fixed": kf_fixed, "pslot": pslot,
+            "oslot": oslot, "obj_fixed": obj_fixed,
+            "has_objs": obj_state is not None,
+        }
+
+    def _apply_global_ba(self, pending):
+        """Fetch + write back the windowed GBA, then drag the rest of
+        the map along the spanning tree; entities erased since dispatch
+        are skipped."""
+        out = pending["out"]
+        slot, kf_fixed = pending["slot"], pending["kf_fixed"]
+        pslot, oslot = pending["pslot"], pending["oslot"]
+        obj_fixed = pending["obj_fixed"]
         new_poses = np.asarray(out["kf_poses"])
         new_pts = np.asarray(out["points"])
         if not (np.isfinite(new_poses).all() and np.isfinite(new_pts).all()):
             return
         updates = {}
         for k, i in slot.items():
+            okf = self.map.keyframes.get(k)
+            if okf is None or okf.bad:
+                continue
             if kf_fixed[i] == 0.0:
-                updates[k] = (self.map.keyframes[k].T_cw.copy(), new_poses[i])
+                updates[k] = (okf.T_cw.copy(), new_poses[i])
             else:
                 # fixed-in-window keyframes keep their pose but still act
                 # as propagation anchors for out-of-window children
-                updates[k] = (
-                    self.map.keyframes[k].T_cw.copy(),
-                    self.map.keyframes[k].T_cw.copy(),
-                )
+                updates[k] = (okf.T_cw.copy(), okf.T_cw.copy())
         moved_objs = set()
-        if obj_state is not None:
+        if pending["has_objs"]:
             new_obj = np.asarray(out["obj_poses"])
             if np.isfinite(new_obj).all():
                 for o, i in oslot.items():
-                    if obj_fixed[i] == 0.0:
-                        self.map.objects[o].set_pose_se3(new_obj[i])
+                    obj = self.map.objects.get(o)
+                    if obj is not None and not obj.bad and obj_fixed[i] == 0.0:
+                        obj.set_pose_se3(new_obj[i])
                         moved_objs.add(o)
         # out-of-window keyframes/points/objects follow via spanning tree
         self._propagate_and_drag(
             updates, skip_pts=set(pslot), skip_objs=moved_objs
         )
         for p, i in pslot.items():
-            self.map.points[p].position = new_pts[i]
+            mp = self.map.points.get(p)
+            if mp is not None and not mp.bad:
+                mp.position = new_pts[i]

@@ -108,6 +108,10 @@ class LocalMapper:
         )
         if defer:
             self._pending_tri = self._dispatch_triangulate(kf, triangulate)
+            if self._pending_tri is not None:
+                from .tracking import _prefetch_to_host
+
+                _prefetch_to_host(self._pending_tri["out"])
         else:
             self._triangulate_and_fuse(kf, triangulate)
         if self.object_pipeline is not None:
@@ -119,6 +123,10 @@ class LocalMapper:
             self._skip_polls = 1
         elif self.cfg.async_ba:
             self._pending_ba = self.dispatch_bundle_adjust(kf)
+            if self._pending_ba is not None:
+                from .tracking import _prefetch_to_host
+
+                _prefetch_to_host(self._pending_ba["out"])
             self._skip_polls = 1
         else:
             self.local_bundle_adjust(kf)

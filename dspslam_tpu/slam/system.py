@@ -69,31 +69,40 @@ class SLAMSystem:
     def track_stereo(self, img_l, img_r, timestamp: float):
         frame = self.tracker.process_stereo(img_l, img_r, timestamp)
         self._drain_keyframes()
-        self.local_mapper.poll()
+        self._poll_background()
         self.frame_idx += 1
         return frame
 
     def track_mono(self, img, timestamp: float):
         frame = self.tracker.process_mono(img, timestamp)
         self._drain_keyframes()
-        self.local_mapper.poll()
+        self._poll_background()
         self.frame_idx += 1
         return frame
 
     def track_rgbd(self, img, depth, timestamp: float):
         frame = self.tracker.process_rgbd(img, depth, timestamp)
         self._drain_keyframes()
-        self.local_mapper.poll()
+        self._poll_background()
         self.frame_idx += 1
         return frame
 
+    def _poll_background(self):
+        """One deferred-stage step per frame (async local mapping /
+        backgrounded global BA)."""
+        self.local_mapper.poll()
+        if self.loop_closer is not None:
+            self.loop_closer.poll()
+
     def flush(self):
-        """Drain any pipelined in-flight frame and pending async BA
-        (sequence end). No-op in synchronous mode."""
+        """Drain any pipelined in-flight frame, pending async BA and
+        backgrounded GBA (sequence end). No-op in synchronous mode."""
         frame = self.tracker.flush()
         if frame is not None:
             self._drain_keyframes()
         self.local_mapper.flush()
+        if self.loop_closer is not None:
+            self.loop_closer.flush()
         return frame
 
     def activate_localization_mode(self):
@@ -107,6 +116,10 @@ class SLAMSystem:
     def _drain_keyframes(self):
         while self.tracker.new_keyframes:
             kf = self.tracker.new_keyframes.pop(0)
+            if self.loop_closer is not None:
+                # a backgrounded GBA must land before new mapping work
+                # packs the poses it will overwrite
+                self.loop_closer.flush()
             if self.detection_source is not None:
                 # kf.seq_idx: the track_* call that produced this KF — in
                 # pipelined mode keyframes surface one call later, so
@@ -140,6 +153,8 @@ class SLAMSystem:
     # savers (System_util.cc:108-149 formats)
     def save_map(self, out_dir: str):
         self.local_mapper.flush()      # saved map includes the last BA solve
+        if self.loop_closer is not None:
+            self.loop_closer.flush()
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "MapPoints.txt"), "w") as f:
             for p in self.map.points.values():

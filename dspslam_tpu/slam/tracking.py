@@ -87,6 +87,20 @@ class TrackerConfig:
         return self.th_depth * self.bf / self.fx
 
 
+def _prefetch_to_host(tree):
+    """Request async device->host copies for every array in `tree` —
+    called right after a pipelined dispatch so the result streams back
+    DURING the next frame's compute window and the later fetch hits a
+    local buffer instead of paying the full relay round trip."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        fn = getattr(leaf, "copy_to_host_async", None)
+        if fn is not None:
+            try:
+                fn()
+            except Exception:
+                return
+
+
 def _upload_image(img):
     """Host->device image upload preserving uint8 (4x less transfer than
     float32 — the dominant per-frame cost on relay-attached TPUs; device
@@ -351,6 +365,7 @@ class Tracker:
             "feats_j": feats_j, "st_j": st_j, "result_j": result_j,
             "cid": cid, "cpos": cpos, "cval": cval,
         }
+        _prefetch_to_host((feats_j, st_j, result_j))
         self._chain = chain
         if prev is not None:
             return self._finalize_inflight(prev)
@@ -382,6 +397,7 @@ class Tracker:
             "feats_j": feats_j, "st_j": None, "result_j": result_j,
             "cid": cid, "cpos": cpos, "cval": cval,
         }
+        _prefetch_to_host((feats_j, st_j, result_j))
         self._chain = chain
         if prev is not None:
             return self._finalize_inflight(prev)
@@ -536,6 +552,7 @@ class Tracker:
             "feats_j": feats_j, "st_j": st_j, "result_j": result_j,
             "cid": cid, "cpos": cpos, "cval": cval,
         }
+        _prefetch_to_host((feats_j, st_j, result_j))
         self._chain = chain
         if prev is not None:
             return self._finalize_inflight(prev)

@@ -123,6 +123,7 @@ def test_fabricated_loop_correction():
     for kf in kfs:
         if closer.insert_keyframe(kf):
             closed_at.append(kf.id)
+    closer.flush()   # apply the backgrounded global BA
 
     assert closer.loops_closed >= 1, "revisit did not close a loop"
 
@@ -341,6 +342,7 @@ def test_loop_correction_at_scale_with_objects():
                 abs(-k.T_cw[0, 3] - truth[i]) for i, k in enumerate(kfs)
                 if k.id in slam_map.keyframes
             ]
+    closer.flush()   # apply the backgrounded global BA
     assert closer.loops_closed >= 1, "revisit did not close a loop"
 
     # endpoint (drift was 2.0 m) pulled back toward truth

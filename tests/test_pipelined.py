@@ -121,6 +121,43 @@ class TestPipelinedParity:
         assert abs(n_s - n_p) / max(n_s, 1) < 0.3, (n_s, n_p)
 
 
+class TestBackToBackKeyframes:
+    """Keyframes on (nearly) consecutive frames must drain the deferred
+    pipeline in order without losing stages (SURVEY hard-part #7:
+    bounded keyframe queue / cooperative scheduling correctness)."""
+
+    def test_consecutive_keyframes_drain_cleanly(self):
+        from dspslam_tpu.slam.local_mapping import LocalMapperConfig
+
+        world = textured_world(seed=2)
+        cfg = TrackerConfig(
+            fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, width=W, height=H,
+            min_init_features=150, max_frames_between_kf=1,  # KF every frame
+            pipelined=True,
+        )
+        system = SLAMSystem(
+            tracker_cfg=cfg,
+            orb_params=orb.ORBParams(n_features=600, n_levels=4),
+            local_mapper_cfg=LocalMapperConfig(
+                fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, async_keyframe=True,
+            ),
+        )
+        for k in range(10):
+            system.track_stereo(
+                render(world, k * STEP),
+                render(world, k * STEP, baseline_m=BASELINE),
+                timestamp=k * 0.1,
+            )
+        system.flush()
+        assert system.state == State.OK
+        lm = system.local_mapper
+        assert lm._pending_tri is None and lm._pending_ba is None \
+            and lm._ba_kf is None
+        # the aggressive KF policy + culling leaves a coherent map
+        assert len(system.map.keyframes) >= 3
+        assert len(system.map.points) > 200
+
+
 class TestAsyncKeyframePipeline:
     """async_keyframe=True: triangulation applies one frame after the
     keyframe, local BA one frame later still (poll()) — trajectory and
