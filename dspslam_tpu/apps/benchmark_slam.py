@@ -94,7 +94,12 @@ def main(argv=None):
     p.add_argument("--async_kf", action="store_true",
                    help="spread keyframe work over subsequent frames "
                    "(bounds worst-case latency; raises the median)")
+    p.add_argument("--mono", action="store_true",
+                   help="monocular mode at reference mono settings "
+                   "(4000 features; Redwood/Freiburg pacing is 15/25 fps)")
     args = p.parse_args(argv)
+    if args.mono:
+        return main_mono(args)
 
     world = build_world()
     rng = np.random.default_rng(1)
@@ -173,6 +178,59 @@ def main(argv=None):
     print(json.dumps({
         "metric": "slam_fps_end_to_end", "value": round(float(fps), 2),
         "unit": "fps", "vs_baseline": round(float(fps) / 10.0, 3),
+    }))
+    return fps
+
+
+def main_mono(args):
+    """Monocular throughput at the reference's mono settings (4000
+    features, 8 levels — redwood/freiburg YAMLs; pacing targets 15 and
+    25 fps). Objects off: mono objects reconstruct every ~5th keyframe
+    from accumulated map points, negligible per-frame cost."""
+    import jax
+
+    world = build_world()
+    cfg = TrackerConfig(
+        fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, width=W, height=H,
+        min_init_features=400, max_frames_between_kf=5,
+        search_radius_motion=25.0,
+        pipelined=not args.no_pipeline,
+    )
+    system = SLAMSystem(
+        tracker_cfg=cfg,
+        orb_params=orb.ORBParams(n_features=4000, n_levels=8),
+    )
+    step = 0.3
+    times = []
+
+    def upload(k):
+        return jax.device_put(
+            np.clip(render(world, k * step), 0, 255).astype(np.uint8)
+        )
+
+    img = upload(0)
+    for k in range(args.frames):
+        nxt = upload(k + 1) if k + 1 < args.frames else None
+        t0 = time.perf_counter()
+        system.track_mono(img, k * 0.1)
+        times.append(time.perf_counter() - t0)
+        img = nxt
+    system.flush()
+
+    steady = np.asarray(times[args.warmup :])
+    fps = 1.0 / np.median(steady)
+    print(
+        f"state={system.state.name} kfs={len(system.map.keyframes)} "
+        f"pts={len(system.map.points)}"
+    )
+    print(
+        f"median frame {np.median(steady) * 1e3:.1f} ms, mean "
+        f"{steady.mean() * 1e3:.1f} ms -> {fps:.1f} fps "
+        f"(mono pacing targets 15 / 25)"
+    )
+    print(json.dumps({
+        "metric": "mono_slam_fps", "value": round(float(fps), 2),
+        "unit": "fps", "vs_baseline": round(float(fps) / 25.0, 3),
     }))
     return fps
 

@@ -397,7 +397,7 @@ class Tracker:
             "feats_j": feats_j, "st_j": None, "result_j": result_j,
             "cid": cid, "cpos": cpos, "cval": cval,
         }
-        _prefetch_to_host((feats_j, st_j, result_j))
+        _prefetch_to_host((feats_j, result_j))
         self._chain = chain
         if prev is not None:
             return self._finalize_inflight(prev)

@@ -112,9 +112,14 @@ def render_map_objects(slam_map, K, T_cw, image_hw):
     return depth, id_map, shade
 
 
-def save_map_snapshot(slam_map, path: str, elev_deg: float = 40.0):
-    """Top-down scatter of map points + object boxes -> PNG (headless
-    stand-in for the Pangolin 3D view)."""
+def save_map_snapshot(slam_map, path: str, elev_deg: float = 40.0,
+                      frustum_scale: float = 0.4,
+                      draw_covisibility: bool = True,
+                      min_covis_weight: int = 30):
+    """Top-down scatter of map points + keyframe frusta + covisibility
+    graph + spanning tree + object markers -> PNG (headless stand-in for
+    the Pangolin 3D view; frusta/graph/tree match MapDrawer::
+    DrawKeyFrames / DrawCurrentCamera, src/MapDrawer.cc)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -124,9 +129,49 @@ def save_map_snapshot(slam_map, path: str, elev_deg: float = 40.0):
     if slam_map.points:
         pos = np.stack([p.position for p in slam_map.points.values()])
         ax.scatter(pos[:, 0], pos[:, 2], s=1, c="gray", alpha=0.4)
+    centers = {}
     for kf in slam_map.keyframes.values():
+        if kf.bad:
+            continue
         c = kf.camera_center()
-        ax.plot(c[0], c[2], "b^", markersize=4)
+        centers[kf.id] = c
+        # wire frustum in the x-z plane: apex + two image-edge rays
+        R_wc = kf.T_cw[:3, :3].T
+        s = frustum_scale
+        for dx in (-0.5, 0.5):
+            corner = c + R_wc @ (s * np.array([dx, 0.0, 1.0]))
+            ax.plot([c[0], corner[0]], [c[2], corner[2]],
+                    "b-", linewidth=0.6, alpha=0.8)
+        l = c + R_wc @ (s * np.array([-0.5, 0.0, 1.0]))
+        r = c + R_wc @ (s * np.array([0.5, 0.0, 1.0]))
+        ax.plot([l[0], r[0]], [l[2], r[2]], "b-", linewidth=0.6, alpha=0.8)
+    if draw_covisibility:
+        drawn = set()
+        for kf in slam_map.keyframes.values():
+            if kf.bad or kf.id not in centers:
+                continue
+            a = centers[kf.id]
+            # covisibility graph (strong edges)
+            for other_id, w in kf.covis.items():
+                if w < min_covis_weight or other_id not in centers:
+                    continue
+                key = (min(kf.id, other_id), max(kf.id, other_id))
+                if key in drawn:
+                    continue
+                drawn.add(key)
+                b = centers[other_id]
+                ax.plot([a[0], b[0]], [a[2], b[2]],
+                        "g-", linewidth=0.4, alpha=0.5)
+            # spanning tree + loop edges (MapDrawer draws both)
+            if kf.parent is not None and kf.parent in centers:
+                b = centers[kf.parent]
+                ax.plot([a[0], b[0]], [a[2], b[2]],
+                        "c-", linewidth=0.7, alpha=0.8)
+            for loop_id in kf.loop_edges:
+                if loop_id in centers and kf.id < loop_id:
+                    b = centers[loop_id]
+                    ax.plot([a[0], b[0]], [a[2], b[2]],
+                            "m-", linewidth=1.0, alpha=0.9)
     for obj in slam_map.objects.values():
         if obj.bad:
             continue
