@@ -78,17 +78,18 @@ def bench_gn():
     return elapsed / iters / B * 1e3
 
 
-def bench_slam_fps(frames: int = 40):
+def bench_slam_fps(frames: int = 40, extra=()):
     from dspslam_tpu.apps import benchmark_slam
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        fps = benchmark_slam.main(["--frames", str(frames)])
+        fps = benchmark_slam.main(["--frames", str(frames), *extra])
     return float(fps)
 
 
 def main():
     fps = bench_slam_fps()
+    mono_fps = bench_slam_fps(extra=("--mono",))
     gn_ms = bench_gn()
     print(
         json.dumps(
@@ -99,6 +100,8 @@ def main():
                 "vs_baseline": round(fps / 10.0, 3),
                 "gn_recon_ms_per_object": round(gn_ms, 3),
                 "gn_vs_baseline_50ms": round(50.0 / gn_ms, 3),
+                "mono_fps_4000feat": round(mono_fps, 2),
+                "mono_vs_freiburg_pacing_25fps": round(mono_fps / 25.0, 3),
             }
         )
     )

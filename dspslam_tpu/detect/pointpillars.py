@@ -133,6 +133,105 @@ def pillarize(points: np.ndarray, cfg: PointPillarsConfig):
     }
 
 
+def pillarize_sparse(points: np.ndarray, cfg: PointPillarsConfig,
+                     point_cap: int | None = None):
+    """Host pillar ASSIGNMENT only — returns fixed-cap SPARSE arrays
+    (~1 MB) instead of the dense (P, M, 10) tensor (~15 MB): on
+    relay-attached TPUs the dense upload costs ~200 ms/scan, 6x the
+    whole network. build_pillars_device scatters them on device.
+
+    Returns dict(s_idx (C,), r_idx (C,), pts (C, 4), pt_valid (C,),
+    coords (P, 2), pillar_mask (P,), n_per (P,)) with
+    C = point_cap (default P*M/4, enough for real scans)."""
+    x0, y0, z0, x1, y1, z1 = cfg.pc_range
+    vx, vy, _ = cfg.voxel_size
+    P, M = cfg.max_pillars, cfg.max_points_per_pillar
+    C = point_cap or (P * M // 4)
+
+    keep = (
+        (points[:, 0] >= x0) & (points[:, 0] < x1)
+        & (points[:, 1] >= y0) & (points[:, 1] < y1)
+        & (points[:, 2] >= z0) & (points[:, 2] < z1)
+    )
+    pts = points[keep]
+    ix = ((pts[:, 0] - x0) / vx).astype(np.int64)
+    iy = ((pts[:, 1] - y0) / vy).astype(np.int64)
+    nx, ny = cfg.grid_size
+    key = iy * nx + ix
+    uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+    order = np.argsort(-counts)[:P]
+    slot_of = np.full(len(uniq), -1, np.int64)
+    slot_of[order] = np.arange(len(order))
+    slots = slot_of[inv]
+
+    coords = np.zeros((P, 2), np.int32)
+    coords[: len(order), 0] = (uniq[order] % nx).astype(np.int32)
+    coords[: len(order), 1] = (uniq[order] // nx).astype(np.int32)
+    pt_order = np.argsort(slots, kind="stable")
+    ss = slots[pt_order]
+    ranks = np.arange(len(ss)) - np.searchsorted(ss, ss)
+    sel = (ss >= 0) & (ranks < M)
+    s_idx = ss[sel][:C]
+    r_idx = ranks[sel][:C]
+    p_sel = pts[pt_order[sel]][:C]
+    n = len(s_idx)
+    n_per = np.bincount(s_idx, minlength=P).astype(np.float32)
+
+    out = {
+        "s_idx": np.zeros(C, np.int32),
+        "r_idx": np.zeros(C, np.int32),
+        "pts": np.zeros((C, 4), np.float32),
+        "pt_valid": np.zeros(C, np.float32),
+        "coords": coords,
+        "pillar_mask": (n_per > 0).astype(np.float32),
+        "n_per": n_per,
+    }
+    out["s_idx"][:n] = s_idx
+    out["r_idx"][:n] = r_idx
+    out["pts"][:n] = p_sel[:, :4]
+    out["pt_valid"][:n] = 1.0
+    return out
+
+
+@partial(jax.jit, static_argnums=(1,))
+def build_pillars_device(sparse: dict, cfg: PointPillarsConfig):
+    """Scatter the sparse per-point arrays into the dense PillarFeatureNet
+    input ON DEVICE (features (P, M, 10), mask (P, M)); centroids via
+    segment-sums over the pillar axis."""
+    x0, y0, _, _, _, _ = cfg.pc_range
+    vx, vy, _ = cfg.voxel_size
+    P, M = cfg.max_pillars, cfg.max_points_per_pillar
+    s = sparse["s_idx"]
+    r = sparse["r_idx"]
+    pts = sparse["pts"]
+    live = sparse["pt_valid"]
+    # dead padded entries all collide on slot (P-1, M-1) with weight 0
+    s = jnp.where(live > 0, s, P - 1)
+    r = jnp.where(live > 0, r, M - 1)
+
+    denom = jnp.maximum(sparse["n_per"], 1.0)
+    cent = jnp.stack([
+        jnp.zeros((P,)).at[s].add(pts[:, c] * live) / denom for c in range(3)
+    ], axis=-1)                                                # (P, 3)
+    coords = sparse["coords"]
+    cx = coords[:, 0].astype(jnp.float32) * vx + x0 + vx / 2.0
+    cy = coords[:, 1].astype(jnp.float32) * vy + y0 + vy / 2.0
+
+    f10 = jnp.concatenate([
+        pts[:, :4],
+        pts[:, :3] - cent[s],
+        (pts[:, 0] - cx[s])[:, None],
+        (pts[:, 1] - cy[s])[:, None],
+        (pts[:, 2] - cfg.anchor_z)[:, None],
+    ], axis=-1) * live[:, None]                                # (C, 10)
+    feats = jnp.zeros((P, M, 10)).at[s, r].add(f10)
+    mask = jnp.zeros((P, M)).at[s, r].add(live)
+    return {
+        "features": feats, "mask": jnp.minimum(mask, 1.0),
+        "coords": coords, "pillar_mask": sparse["pillar_mask"],
+    }
+
+
 # ---------------------------------------------------------------------------
 # Network
 
@@ -321,8 +420,10 @@ class Detector3D:
 
     def make_prediction(self, velo_points: np.ndarray) -> np.ndarray:
         """(N, 4) scan -> (K, 7) [x, y, z, w, l, h, yaw] car boxes."""
-        pil = pillarize(velo_points, self.cfg)
-        pil = {k: jnp.asarray(v) for k, v in pil.items()}
+        sp = pillarize_sparse(velo_points, self.cfg)
+        pil = build_pillars_device(
+            {k: jnp.asarray(v) for k, v in sp.items()}, self.cfg
+        )
         cls, deltas, dirs = forward(self.params, pil, self.cfg)
         boxes = decode_boxes(deltas, self.anchors)
         out_boxes, scores, valid = select_detections(cls, boxes, dirs, self.cfg)

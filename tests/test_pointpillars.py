@@ -202,3 +202,42 @@ class TestCheckpointIngestion:
         det = pp.Detector3D(params=params, cfg=cfg)
         out = det.make_prediction(car_scan())
         assert out.shape[1] == 7
+
+
+class TestSparsePillarize:
+    def test_device_build_matches_dense_host(self):
+        """pillarize_sparse + build_pillars_device must reproduce the
+        dense host pillarize tensors exactly (modulo per-pillar point
+        order, which both derive from the same stable sort)."""
+        import jax.numpy as jnp
+
+        scan = car_scan()
+        dense = pp.pillarize(scan, CFG)
+        sp = pp.pillarize_sparse(scan, CFG)
+        built = pp.build_pillars_device(
+            {k: jnp.asarray(v) for k, v in sp.items()}, CFG
+        )
+        np.testing.assert_allclose(
+            np.asarray(built["mask"]), dense["mask"], atol=0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(built["coords"]), dense["coords"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(built["pillar_mask"]), dense["pillar_mask"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(built["features"]), dense["features"],
+            atol=1e-4,
+        )
+
+    def test_point_cap_truncates_safely(self):
+        import jax.numpy as jnp
+
+        scan = car_scan()
+        sp = pp.pillarize_sparse(scan, CFG, point_cap=64)
+        assert sp["pts"].shape == (64, 4)
+        built = pp.build_pillars_device(
+            {k: jnp.asarray(v) for k, v in sp.items()}, CFG
+        )
+        assert np.isfinite(np.asarray(built["features"])).all()
