@@ -91,18 +91,27 @@ def stereo_match(
     H, W = img_l.shape
     size = 2 * _SAD_HALF + 1                                  # 11
     pad = _SHIFTS + _SLANT_PAD
-    yl_i = jnp.clip(yl.astype(jnp.int32), _SAD_HALF, H - _SAD_HALF - 1)
-    xl_i = jnp.clip(xl.astype(jnp.int32), _SAD_HALF, W - _SAD_HALF - 1)
-    xr_i = jnp.clip(
-        xr[best_idx].astype(jnp.int32), _SAD_HALF + pad,
-        W - _SAD_HALF - pad - 1,
-    )
+    # octave-correct windows (Frame.cc:540-610 samples the keypoint's
+    # PYRAMID LEVEL image): the TPU fixed-shape equivalent dilates the
+    # tap spacing by the keypoint's octave scale on the level-0 image —
+    # the window covers the same physical footprint the reference's
+    # octave window does, and the disparity search/subpixel step run in
+    # octave pixels (converted back below). Level-0 keypoints reduce to
+    # the exact dense window.
+    s_oct = jnp.sqrt(feats_l["sigma2"]).astype(jnp.float32)   # (N,)
+    reach = jnp.ceil((_SAD_HALF + pad) * s_oct).astype(jnp.int32)
+    yl_i = jnp.clip(yl.astype(jnp.int32), reach, H - reach - 1)
+    xl_i = jnp.clip(xl.astype(jnp.int32), reach, W - reach - 1)
+    xr_i = jnp.clip(xr[best_idx].astype(jnp.int32), reach, W - reach - 1)
     dy = jnp.arange(-_SAD_HALF, _SAD_HALF + 1)
     dxl = jnp.arange(-_SAD_HALF, _SAD_HALF + 1)
     dxw = jnp.arange(-_SAD_HALF - pad, _SAD_HALF + pad + 1)
-    rows = yl_i[:, None, None] + dy[None, :, None]            # (N, 11, 1)
-    patch_l = img_l[rows, xl_i[:, None, None] + dxl[None, None, :]]   # (N, 11, 11)
-    patch_r = img_r[rows, xr_i[:, None, None] + dxw[None, None, :]]   # (N, 11, 11+2*pad)
+    dy_d = jnp.round(dy[None, :] * s_oct[:, None]).astype(jnp.int32)   # (N, 11)
+    dxl_d = jnp.round(dxl[None, :] * s_oct[:, None]).astype(jnp.int32)
+    dxw_d = jnp.round(dxw[None, :] * s_oct[:, None]).astype(jnp.int32)
+    rows = yl_i[:, None, None] + dy_d[:, :, None]             # (N, 11, 1)
+    patch_l = img_l[rows, xl_i[:, None, None] + dxl_d[:, None, :]]    # (N, 11, 11)
+    patch_r = img_r[rows, xr_i[:, None, None] + dxw_d[:, None, :]]    # (N, 11, 11+2*pad)
     # per-row sliding SADs once, then compose shift x slant from them
     n_j = 2 * pad + 1
     rowsad = jnp.stack(
@@ -154,8 +163,11 @@ def stereo_match(
     valid_sad = jnp.where(ok, sad_best, jnp.nan)
     med = jnp.nanmedian(valid_sad)
     ok = ok & (sad_best <= 1.5 * 1.4 * jnp.where(jnp.isnan(med), jnp.inf, med))
+    # shift and subpixel delta are in OCTAVE pixels; convert to level-0
+    # (the reference's deltaR * scale factor, Frame.cc:606-610)
     u_right = (
-        xr[best_idx] + (k_in - _SHIFTS).astype(jnp.float32) + delta
+        xr[best_idx]
+        + ((k_in - _SHIFTS).astype(jnp.float32) + delta) * s_oct
     )
     disparity = xl - u_right
     ok = ok & (disparity > 0.01) & (disparity <= max_disparity)

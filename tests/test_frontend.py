@@ -186,3 +186,51 @@ class TestStereo:
         ur, valid = stereo.depth_to_virtual_right(u, d, bf=400.0)
         assert float(ur[0]) == pytest.approx(100.0 - 40.0)
         assert float(valid[1]) == 0.0
+
+    @pytest.mark.parametrize("level,tol", [(0, 0.3), (3, 0.9)])
+    def test_subpixel_octave_windows(self, level, tol):
+        """SAD windows dilate with the keypoint's octave (reference
+        samples the pyramid-level image, Frame.cc:540-610): a
+        high-octave keypoint on smooth large-scale texture still
+        recovers a fractional disparity, with octave-scaled subpixel
+        resolution."""
+        H, W = 96, 256
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+
+        def f(x, y):
+            return (
+                120
+                + 40 * np.sin(2 * np.pi * x / 23.0) * np.cos(2 * np.pi * y / 31.0)
+                + 30 * np.sin(2 * np.pi * (x + y) / 17.0)
+            )
+
+        true_disp = 3.3
+        img_l = f(xx, yy).astype(np.float32)
+        img_r = f(xx + true_disp, yy).astype(np.float32)
+
+        sf = 1.2
+        n = 6
+        xs = np.linspace(60, 200, n).astype(np.float32)
+        desc = np.zeros((n, 8), np.uint32)
+        desc[:, 0] = 1 << np.arange(n)      # unique per keypoint
+        feats = {
+            "xy": np.stack([xs, np.full(n, 48.0, np.float32)], -1),
+            "desc": desc,
+            "level": np.full(n, level, np.int32),
+            "sigma2": np.full(n, sf ** (2 * level), np.float32),
+            "valid": np.ones(n, np.float32),
+            "response": np.ones(n, np.float32),
+            "angle": np.zeros(n, np.float32),
+        }
+        fr = dict(feats)
+        fr["xy"] = feats["xy"] - np.array([[np.round(true_disp), 0.0]], np.float32)
+        fl_j = {k: jnp.asarray(v) for k, v in feats.items()}
+        fr_j = {k: jnp.asarray(v) for k, v in fr.items()}
+        out = stereo.stereo_match(
+            fl_j, fr_j, jnp.asarray(img_l), jnp.asarray(img_r),
+            jnp.float32(400.0), jnp.float32(40.0),
+        )
+        valid = np.asarray(out["valid"]) > 0
+        assert valid.sum() >= n - 2
+        disp = (feats["xy"][:, 0] - np.asarray(out["u_right"]))[valid]
+        assert np.abs(np.median(disp) - true_disp) < tol, disp
