@@ -193,6 +193,58 @@ def test_image_based_out_and_back_consistency():
     assert np.isfinite(pos).all()
 
 
+def test_full_system_loop_closer_no_false_positives():
+    """Full-system precision check: on a cleanly-tracked out-and-back
+    (re-association bounds drift, no correction needed) the enabled BoW
+    loop closer must fire ZERO loop closures — revisited places are
+    covisible with the current keyframe and excluded, and nothing else
+    may score in (KeyFrameDatabase gating + consistency streak)."""
+    import jax.numpy as jnp
+
+    from dspslam_tpu.datasets.synthetic import LayeredWorld
+    from dspslam_tpu.frontend import orb
+    from dspslam_tpu.place.vocabulary import Vocabulary
+    from dspslam_tpu.slam.system import SLAMSystem
+    from dspslam_tpu.slam.tracking import State, TrackerConfig
+
+    FX = 500.0
+    CX, CY = 320.0, 120.0
+    BASELINE = 0.4
+    H, W = 240, 640
+    world = LayeredWorld(W, H, FX, cx=CX, cy=CY, x_range=(-1.0, 9.0),
+                         seed=12)
+    params = orb.ORBParams(n_features=600, n_levels=3)
+
+    # vocabulary trained on this world's own imagery
+    descs = []
+    for x in (0.0, 3.0, 6.0):
+        f = orb.extract(jnp.asarray(world.render(x)), params)
+        d = np.asarray(f["desc"])[np.asarray(f["valid"]) > 0]
+        descs.append(d)
+    voc = Vocabulary.train(np.concatenate(descs), branching=8, levels=3,
+                           seed=3)
+
+    cfg = TrackerConfig(
+        fx=FX, fy=FX, cx=CX, cy=CY, bf=FX * BASELINE, width=W, height=H,
+        min_init_features=150, max_frames_between_kf=3,
+        search_radius_motion=50.0,
+    )
+    system = SLAMSystem(tracker_cfg=cfg, orb_params=params)
+    system.enable_loop_closing(voc)
+    xs = list(np.arange(0, 8.0, 0.4)) + list(np.arange(8.0, -0.01, -0.4))
+    for k, x in enumerate(xs):
+        system.track_stereo(world.render(x), world.render(x, BASELINE),
+                            0.1 * k)
+    system.flush()
+    assert system.state == State.OK
+    assert system.loop_closer.loops_closed == 0, (
+        "false loop closure on a drift-free out-and-back"
+    )
+    T = system.tracker.trajectory[-1][1]
+    estx = float((-T[:3, :3].T @ T[:3, 3])[0])
+    assert abs(estx) < 1.6, f"endpoint {estx}"
+
+
 def _make_kf(slam_map, step, x_true, drift, groups, lmk_pos, lmk_desc):
     """One fabricated keyframe at truth x (drifted estimate). `groups` is a
     list of (cell landmark indices, point-association dict) pairs — separate
