@@ -84,12 +84,16 @@ def bench_slam_fps(frames: int = 40, extra=()):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         fps = benchmark_slam.main(["--frames", str(frames), *extra])
-    return float(fps)
+    ate_cm = None
+    for line in buf.getvalue().splitlines():
+        if line.startswith("{"):
+            ate_cm = json.loads(line).get("ate_rmse_cm")
+    return float(fps), ate_cm
 
 
 def main():
-    fps = bench_slam_fps()
-    mono_fps = bench_slam_fps(extra=("--mono",))
+    fps, ate_cm = bench_slam_fps()
+    mono_fps, _ = bench_slam_fps(extra=("--mono",))
     gn_ms = bench_gn()
     print(
         json.dumps(
@@ -102,6 +106,7 @@ def main():
                 "gn_vs_baseline_50ms": round(50.0 / gn_ms, 3),
                 "mono_fps_4000feat": round(mono_fps, 2),
                 "mono_vs_freiburg_pacing_25fps": round(mono_fps / 25.0, 3),
+                "ate_rmse_cm": ate_cm,
             }
         )
     )

@@ -167,17 +167,38 @@ def main(argv=None):
 
     steady = np.asarray(times[args.warmup :])
     fps = 1.0 / np.median(steady)
+
+    # trajectory accuracy against the synthetic ground truth (pure +x
+    # dolly at `step` m/frame), no alignment gauge games: SE(3) Umeyama
+    from ..utils.evaluation import ate_rmse
+
+    est, gt = [], []
+    for ts, T_cw, lost in system.tracker.trajectory:
+        if lost:
+            continue
+        T_wc = np.eye(4)
+        T_wc[:3, :3] = T_cw[:3, :3].T
+        T_wc[:3, 3] = -T_cw[:3, :3].T @ T_cw[:3, 3]
+        est.append(T_wc)
+        g = np.eye(4)
+        g[0, 3] = cam_xs[int(round(ts / 0.1))]
+        gt.append(g)
+    ate = ate_rmse(np.stack(est), np.stack(gt))
+
     print(
         f"state={system.state.name} kfs={len(system.map.keyframes)} "
         f"pts={len(system.map.points)} objs={len(system.map.objects)}"
     )
     print(
         f"median frame {np.median(steady) * 1e3:.1f} ms, mean "
-        f"{steady.mean() * 1e3:.1f} ms -> {fps:.1f} fps (target >= 10)"
+        f"{steady.mean() * 1e3:.1f} ms -> {fps:.1f} fps (target >= 10); "
+        f"ATE RMSE {ate['rmse'] * 100:.1f} cm over "
+        f"{(args.frames - 1) * step:.1f} m"
     )
     print(json.dumps({
         "metric": "slam_fps_end_to_end", "value": round(float(fps), 2),
         "unit": "fps", "vs_baseline": round(float(fps) / 10.0, 3),
+        "ate_rmse_cm": round(ate["rmse"] * 100, 2),
     }))
     return fps
 
