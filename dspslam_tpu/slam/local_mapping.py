@@ -102,20 +102,35 @@ class LocalMapper:
         if self.object_pipeline is not None:
             local_ids = self.map.local_keyframes(kf, self.cfg.window)
             obj_pending = self.object_pipeline.dispatch_keyframe(kf, local_ids)
-        defer = (
-            self.cfg.async_keyframe
-            and not getattr(self.object_pipeline, "uses_map_points", False)
+        needs_fresh_points = getattr(
+            self.object_pipeline, "uses_map_points", False
         )
+        defer = self.cfg.async_keyframe and not needs_fresh_points
+        tri_sync = None
         if defer:
             self._pending_tri = self._dispatch_triangulate(kf, triangulate)
             if self._pending_tri is not None:
                 from .tracking import _prefetch_to_host
 
                 _prefetch_to_host(self._pending_tri["out"])
-        else:
+        elif needs_fresh_points:
+            # mono association votes with map points: triangulation must
+            # land before the object stage
             self._triangulate_and_fuse(kf, triangulate)
+        else:
+            # sync path, interleaved: fetch triangulation AFTER the
+            # object-stage apply so its compute + host transfer overlap
+            # that host work (the object GN programs precede it in the
+            # device queue either way)
+            tri_sync = self._dispatch_triangulate(kf, triangulate)
+            if tri_sync is not None:
+                from .tracking import _prefetch_to_host
+
+                _prefetch_to_host(tri_sync["out"])
         if self.object_pipeline is not None:
             self.object_pipeline.apply_keyframe(kf, obj_pending)
+        if tri_sync is not None:
+            self._apply_triangulate(tri_sync)
         if defer:
             # BA must see the triangulated points: dispatched by poll()
             # right after the triangulation applies
