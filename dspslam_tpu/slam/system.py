@@ -196,6 +196,50 @@ class SLAMSystem:
                 vals = np.concatenate([Rwc, twc[:, None]], axis=1).reshape(-1)
                 f.write(" ".join(f"{v:.9f}" for v in vals) + "\n")
 
+    def reset(self):
+        """Full system reset (System::Reset): wipe the map, drop all
+        deferred work, return to initialization."""
+        self.local_mapper.drop_pending_ba()
+        self.tracker.reset()
+        if self.loop_closer is not None:
+            self.loop_closer.flush()
+        self.frame_idx = 0
+
+    def shutdown(self):
+        """System::Shutdown: drain all pipelines; the map/trajectory
+        savers remain callable afterwards."""
+        self.flush()
+
+    def map_changed(self) -> bool:
+        """System::MapChanged: True once after big map updates (loop
+        closure / GBA / reset), tracked via the loop-closure counter and
+        map cardinality."""
+        state = (
+            len(self.map.keyframes), len(self.map.points),
+            self.loop_closer.loops_closed if self.loop_closer else 0,
+        )
+        changed = state != getattr(self, "_last_map_state", None)
+        self._last_map_state = state
+        return changed
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """TUM format over KEYFRAME poses only
+        (System::SaveKeyFrameTrajectoryTUM, System.cc)."""
+        from scipy.spatial.transform import Rotation
+
+        with open(path, "w") as f:
+            for kf_id in sorted(self.map.keyframes):
+                kf = self.map.keyframes[kf_id]
+                if kf.bad:
+                    continue
+                R = kf.T_cw[:3, :3].T
+                t = -R @ kf.T_cw[:3, 3]
+                q = Rotation.from_matrix(R).as_quat()
+                f.write(
+                    f"{kf.timestamp:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                )
+
     def save_trajectory_tum(self, path: str):
         """TUM format: timestamp tx ty tz qx qy qz qw (System.cc:374-420)."""
         from scipy.spatial.transform import Rotation

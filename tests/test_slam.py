@@ -115,3 +115,22 @@ class TestSavers:
         system.save_trajectory_tum(str(tmp_path / "tum.txt"))
         tum = np.loadtxt(tmp_path / "tum.txt")
         assert tum.shape == (8, 8)
+
+
+class TestSystemFacade:
+    """System-facade parity methods (System.h:91-140)."""
+
+    def test_keyframe_trajectory_reset_mapchanged(self, slam_result, tmp_path):
+        system, _ = slam_result
+        path = tmp_path / "kf_tum.txt"
+        system.save_keyframe_trajectory_tum(str(path))
+        lines = path.read_text().strip().splitlines()
+        n_good = sum(1 for kf in system.map.keyframes.values() if not kf.bad)
+        assert len(lines) == n_good
+        assert all(len(l.split()) == 8 for l in lines)
+
+        assert system.map_changed() is True      # first call seeds
+        assert system.map_changed() is False     # steady map
+
+        system.shutdown()                        # no-op drain, keeps map
+        assert len(system.map.keyframes) == n_good
