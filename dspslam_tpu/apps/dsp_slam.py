@@ -107,7 +107,7 @@ def main(argv=None):
         args.overlay_dir = None
 
     system_cfg = (
-        cfg_mod.SystemConfig.from_reference_json(args.config)
+        cfg_mod.SystemConfig.load(args.config)
         if args.config else cfg_mod.SystemConfig()
     )
     if args.settings:

@@ -75,7 +75,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     system_cfg = (
-        cfg_mod.SystemConfig.from_reference_json(args.config)
+        cfg_mod.SystemConfig.load(args.config)
         if args.config
         else cfg_mod.SystemConfig()
     )

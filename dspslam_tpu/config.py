@@ -84,6 +84,42 @@ class SystemConfig:
     deepsdf_dir: Optional[str] = None
     voxels_dim: int = 32
 
+    # ------------------------------------------------------------------
+    # native format: the WHOLE tree in one JSON file (the reference needs
+    # a per-sequence OpenCV YAML + a dataset JSON + mmcv python configs)
+    def to_json(self, path: str | None = None) -> str:
+        d = dataclasses.asdict(self)
+        s = json.dumps(d, indent=2, sort_keys=True)
+        if path:
+            with open(path, "w") as f:
+                f.write(s + "\n")
+        return s
+
+    @staticmethod
+    def load(path: str) -> "SystemConfig":
+        """Sniffing loader: native configs (configs/*.json, a "camera"
+        section) or the reference dataset-JSON format."""
+        with open(path) as f:
+            d = json.load(f)
+        if "camera" in d:
+            return SystemConfig.from_json(path)
+        return SystemConfig.from_reference_json(path)
+
+    @staticmethod
+    def from_json(path: str) -> "SystemConfig":
+        with open(path) as f:
+            d = json.load(f)
+        return SystemConfig(
+            data_type=d.get("data_type", "KITTI"),
+            sensor=d.get("sensor", "stereo_lidar"),
+            camera=CameraConfig(**d.get("camera", {})),
+            orb=ORBConfig(**d.get("orb", {})),
+            detection=DetectionConfig(**d.get("detection", {})),
+            optimizer=GNConfig(**d.get("optimizer", {})),
+            deepsdf_dir=d.get("deepsdf_dir"),
+            voxels_dim=d.get("voxels_dim", 32),
+        )
+
     @staticmethod
     def from_reference_yaml(path: str, base: "SystemConfig" = None) -> "SystemConfig":
         """Load a reference per-sequence OpenCV YAML (camera + ORB + viewer

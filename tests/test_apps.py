@@ -271,3 +271,25 @@ class TestRenderer:
         # silhouette roughly circular around the principal point
         ys, xs = np.nonzero(hit)
         assert abs(xs.mean() - 160) < 6 and abs(ys.mean() - 120) < 6
+
+
+class TestNativeConfigs:
+    def test_shipped_configs_load_and_roundtrip(self):
+        import glob
+
+        from dspslam_tpu.config import SystemConfig
+
+        paths = sorted(glob.glob("configs/*.json"))
+        assert len(paths) >= 5
+        for p in paths:
+            cfg = SystemConfig.load(p)
+            assert cfg.camera.fx > 100
+            assert cfg.orb.n_features in (2000, 4000)
+            s = cfg.to_json()
+            assert '"camera"' in s
+
+    def test_loader_sniffs_reference_format(self, kitti_dir):
+        from dspslam_tpu.config import SystemConfig
+
+        cfg = SystemConfig.load(str(kitti_dir / "config.json"))
+        assert cfg.optimizer.code_len >= 8
