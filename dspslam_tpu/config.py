@@ -67,6 +67,10 @@ class DetectionConfig:
     num_lidar_max: int = 250
     num_lidar_min: int = 10
     max_bg_rays: int = 200
+    # mono mask shrink in pixels ("Objects.maskErrosion": boundary pixels
+    # of instance masks are unreliable; reference erodes before ray
+    # sampling — redwood 5, freiburg 10)
+    mask_erosion: int = 0
     # static padding caps for the TPU pipeline
     max_detections: int = 8
     max_surface_points: int = 256
@@ -158,7 +162,13 @@ class SystemConfig:
             ini_th_fast=int(data.get("ORBextractor.iniThFAST", base.orb.ini_th_fast)),
             min_th_fast=int(data.get("ORBextractor.minThFAST", base.orb.min_th_fast)),
         )
-        return dataclasses.replace(base, camera=cam, orb=orb)
+        det = dataclasses.replace(
+            base.detection,
+            mask_erosion=int(
+                data.get("Objects.maskErrosion", base.detection.mask_erosion)
+            ),
+        )
+        return dataclasses.replace(base, camera=cam, orb=orb, detection=det)
 
     @staticmethod
     def from_reference_json(path: str, **overrides) -> "SystemConfig":

@@ -111,6 +111,7 @@ class MonoSequence:
             min_mask_area=cfg.min_mask_area,
             bg_stride=cfg.downsample_ratio,
             max_bg_rays=cfg.max_bg_rays,
+            mask_erosion=getattr(cfg, "mask_erosion", 0),
             dist_coeffs=self.dist_coeffs,
         )
         return [det] if det is not None else []
