@@ -94,3 +94,57 @@ def test_relocalize_after_blackout():
     twc = -T_cw[:3, :3].T @ T_cw[:3, 3]
     np.testing.assert_allclose(twc[0], 0.45, atol=0.08)
     np.testing.assert_allclose(twc[1:], 0.0, atol=0.08)
+
+
+@pytest.mark.slow
+def test_relocalize_after_blackout_pipelined():
+    """Same blackout scenario under one-frame-lag pipelined tracking:
+    the blackout lands while a frame is in flight, poisoning the device
+    chain — the tracker must fall back, go LOST, relocalize, and resume
+    the pipelined steady state (poisoned-redo + flush machinery)."""
+    world = textured_world(seed=13)
+    params = orb.ORBParams(n_features=500, n_levels=3)
+    cfg = TrackerConfig(
+        fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, width=W, height=H,
+        min_init_features=150, max_frames_between_kf=2,
+        search_radius_motion=40.0,
+        pipelined=True,
+    )
+    system = SLAMSystem(tracker_cfg=cfg, orb_params=params)
+    import jax.numpy as jnp
+
+    descs = []
+    for x in (0.0, 0.6, 1.2):
+        f = orb.extract(jnp.asarray(render(world, x)), params)
+        descs.append(np.asarray(f["desc"])[np.asarray(f["valid"]) > 0])
+    voc = Vocabulary.train(np.concatenate(descs), branching=6, levels=2)
+    system.enable_loop_closing(voc, fix_scale=True)
+
+    blank = np.zeros((H, W), np.float32)
+    k = 0
+
+    def step(img_l, img_r):
+        nonlocal k
+        system.track_stereo(img_l, img_r, 0.1 * k)
+        k += 1
+
+    for x in np.arange(0, 1.21, 0.15):
+        step(render(world, x), render(world, x, BASELINE))
+    system.flush()
+    assert system.state == State.OK
+
+    for _ in range(4):
+        step(blank, blank)
+    system.flush()
+    assert system.state == State.LOST
+
+    for _ in range(4):
+        step(render(world, 0.45), render(world, 0.45, BASELINE))
+    system.flush()
+    assert system.state == State.OK, "failed to relocalize (pipelined)"
+    # resumed frames keep appearing in timestamp order with sane poses
+    ts = [t for t, _, _ in system.tracker.trajectory]
+    assert ts == sorted(ts)
+    T_cw = system.tracker.trajectory[-1][1]
+    twc = -T_cw[:3, :3].T @ T_cw[:3, 3]
+    np.testing.assert_allclose(twc[0], 0.45, atol=0.08)
