@@ -97,6 +97,12 @@ def main(argv=None):
     )
     p.add_argument("--overlay_dir", help="write per-frame tracking overlays")
     p.add_argument(
+        "--save_frames_dir",
+        help="per-frame map dumps (System::SaveMapCurrentFrame format; "
+        "feed to `visualize_map --follow` for a live view)",
+    )
+    p.add_argument("--save_frames_every", type=int, default=1)
+    p.add_argument(
         "--pipeline", action="store_true",
         help="one-frame-lag pipelined tracking (higher throughput; "
         "per-frame overlays are skipped — results lag the camera)",
@@ -157,6 +163,8 @@ def main(argv=None):
             Image.fromarray(overlay).save(
                 os.path.join(args.overlay_dir, f"{frame_id:06d}.png")
             )
+        if args.save_frames_dir and frame_id % args.save_frames_every == 0:
+            system.save_map_current_frame(args.save_frames_dir, frame_id)
         if frame_id % 20 == 0:
             print(
                 f"frame {frame_id}/{n} state={system.state.name} "

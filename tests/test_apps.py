@@ -293,3 +293,25 @@ class TestNativeConfigs:
 
         cfg = SystemConfig.load(str(kitti_dir / "config.json"))
         assert cfg.optimizer.code_len >= 8
+
+
+def test_save_frames_dir_feeds_follow_viewer(kitti_dir, tmp_path):
+    """dsp_slam --save_frames_dir writes per-frame dumps that the follow
+    viewer can animate (the reference's SaveMapCurrentFrame loop)."""
+    from dspslam_tpu.apps import dsp_slam, visualize_map
+
+    frames_dir = tmp_path / "live"
+    dsp_slam.main([
+        "--sequence_dir", str(kitti_dir),
+        "--settings", str(kitti_dir / "settings.yaml"),
+        "--config", str(kitti_dir / "config.json"),
+        "--map_dir", str(tmp_path / "map"),
+        "--no_objects", "--frames", "6",
+        "--save_frames_dir", str(frames_dir),
+        "--save_frames_every", "2",
+    ])
+    dumps = sorted(os.listdir(frames_dir))
+    assert len(dumps) == 3 and all(d.isdigit() for d in dumps)
+    out = tmp_path / "anim"
+    n = visualize_map.follow(str(frames_dir), out_dir=str(out), once=True)
+    assert n == 3
