@@ -136,6 +136,59 @@ def slam_with_objects():
     return system
 
 
+def test_pipelined_object_slam_reconstructs():
+    """Object-aware SLAM under one-frame-lag pipelined tracking (the
+    benchmark's configuration): keyframes surface one call late with
+    correct seq indices, detections attach to the right frames, and
+    objects reconstruct at the right world positions."""
+    world = textured_world(seed=3)
+    cfg = TrackerConfig(
+        fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, width=W, height=H,
+        min_init_features=150, max_frames_between_kf=4,
+        pipelined=True,
+    )
+    cam_xs = {}
+    rng = np.random.default_rng(5)
+
+    def detection_source(frame_idx):
+        return make_detections(cam_xs[frame_idx])
+
+    def pipeline_factory(slam_map):
+        return ObjectPipeline(
+            slam_map,
+            deepsdf.sphere_decoder_fn,
+            deepsdf.make_sphere_params(code_len=CODE_LEN),
+            gn.GNConfig(code_len=CODE_LEN, k4=0.0, num_iterations=8,
+                        max_grad_points=256),
+            max_detections=4, max_surface_points=128, max_rays=256,
+            extract_meshes=False,
+        )
+
+    system = SLAMSystem(
+        tracker_cfg=cfg,
+        orb_params=orb.ORBParams(n_features=600, n_levels=4),
+        object_pipeline_factory=pipeline_factory,
+        detection_source=detection_source,
+    )
+    step = 0.15
+    for k in range(9):
+        cam_xs[k] = k * step
+        system.track_stereo(
+            render(world, cam_xs[k]),
+            render(world, cam_xs[k], baseline_m=BASELINE),
+            timestamp=k * 0.1,
+        )
+    system.flush()
+    assert system.state == State.OK
+    objs = [o for o in system.map.objects.values() if not o.bad]
+    assert len(objs) >= 1
+    errs = []
+    for o in objs:
+        d = np.linalg.norm(SPHERES_W - o.T_wo[:3, 3][None], axis=-1).min()
+        errs.append(d)
+    assert min(errs) < 0.3, errs
+
+
 class TestObjectSLAM:
     def test_tracks_and_reconstructs(self, slam_with_objects):
         system = slam_with_objects
