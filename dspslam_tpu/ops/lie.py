@@ -47,19 +47,27 @@ def vee(W: jnp.ndarray) -> jnp.ndarray:
 def _sinc_coeffs(theta_sq: jnp.ndarray):
     """Return (A, B, C) = (sin t/t, (1-cos t)/t^2, (t-sin t)/t^3) robustly.
 
-    Taylor series are used below theta^2 < 1e-8; both branches are always
+    Taylor series are used below theta < 0.1 — NOT merely near zero: the
+    exact forms cancel catastrophically in f32 well before underflow
+    ((t - sin t) at t = 1e-3 is 1.7e-10 against 6e-11 rounding in sin t,
+    a 36% error), which put ~100% noise on the small-rotation
+    rotation/translation coupling Jacobians and capped pose-graph
+    convergence. At the 0.1 switch point the exact forms are accurate to
+    ~1e-5 and the 3-term series to ~2e-10; both branches are always
     finite so gradients stay clean.
     """
-    small = theta_sq < 1e-8
+    small = theta_sq < 0.01
     # sanitize to avoid sqrt(0) grad NaN in the unused branch
     safe_sq = jnp.where(small, jnp.ones_like(theta_sq), theta_sq)
     theta = jnp.sqrt(safe_sq)
     a_big = jnp.sin(theta) / theta
     b_big = (1.0 - jnp.cos(theta)) / safe_sq
     c_big = (theta - jnp.sin(theta)) / (safe_sq * theta)
-    a_small = 1.0 - theta_sq / 6.0
-    b_small = 0.5 - theta_sq / 24.0
-    c_small = 1.0 / 6.0 - theta_sq / 120.0
+    t2 = theta_sq
+    t4 = theta_sq * theta_sq
+    a_small = 1.0 - t2 / 6.0 + t4 / 120.0
+    b_small = 0.5 - t2 / 24.0 + t4 / 720.0
+    c_small = 1.0 / 6.0 - t2 / 120.0 + t4 / 5040.0
     return (
         jnp.where(small, a_small, a_big),
         jnp.where(small, b_small, b_big),
@@ -116,12 +124,17 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
 
 def _so3_left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
     theta_sq = jnp.sum(w * w, axis=-1)
-    small = theta_sq < 1e-8
+    # series below theta = 0.5: (1 - x cot x) cancels in f32 for small x
+    # (same failure mode as _sinc_coeffs; see its docstring)
+    small = theta_sq < 0.25
     safe_sq = jnp.where(small, jnp.ones_like(theta_sq), theta_sq)
     theta = jnp.sqrt(safe_sq)
     half = 0.5 * theta
     cot_term_big = (1.0 - half * jnp.cos(half) / jnp.sin(half)) / safe_sq
-    cot_term = jnp.where(small, 1.0 / 12.0 + theta_sq / 720.0, cot_term_big)
+    cot_series = (
+        1.0 / 12.0 + theta_sq / 720.0 + theta_sq * theta_sq / 30240.0
+    )
+    cot_term = jnp.where(small, cot_series, cot_term_big)
     W = hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -172,7 +185,26 @@ def sim3_w_matrix(w: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     W = hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return C[..., None, None] * eye + k1[..., None, None] * W + k2[..., None, None] * W2
+    W_exact = (
+        C[..., None, None] * eye + k1[..., None, None] * W
+        + k2[..., None, None] * W2
+    )
+
+    # Small-generator region: the closed form cancels catastrophically in
+    # f32 (see _sinc_coeffs), so evaluate the defining matrix series
+    # W = sum_n M^n/(n+1)!, M = s I + hat(w), directly — 5 terms give
+    # ~2e-10 truncation at the 0.1 switch point, and matrix products of
+    # O(0.1) entries carry no cancellation.
+    M = s[..., None, None] * eye + W
+    M2 = M @ M
+    M3 = M2 @ M
+    M4 = M2 @ M2
+    M5 = M4 @ M
+    W_series = (
+        eye + M / 2.0 + M2 / 6.0 + M3 / 24.0 + M4 / 120.0 + M5 / 720.0
+    )
+    use_series = (theta_sq + s * s) < 0.01
+    return jnp.where(use_series[..., None, None], W_series, W_exact)
 
 
 def exp_sim3(x: jnp.ndarray) -> jnp.ndarray:

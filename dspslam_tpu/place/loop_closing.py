@@ -20,6 +20,8 @@ Host orchestration of the reference's LoopClosing thread
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -30,13 +32,20 @@ from ..slam.map import Map
 from . import sim3 as sim3_mod
 from .vocabulary import KeyFrameDatabase, Vocabulary
 
+log = logging.getLogger(__name__)
+
 GBA_KF_CAP = 64
 GBA_PT_CAP = 4096
 GBA_OBS_CAP = 16384
 GBA_OBJ_CAP = 16
 GBA_EDGE_CAP = 64
-PG_KF_CAP = 256
-PG_EDGE_CAP = 1024
+# essential-graph scale: the reference optimizes ALL keyframes
+# (Optimizer.cc:780); 2048 Sim(3) vertices covers KITTI-00 (~1.3k KFs).
+# Above PG_DENSE_MAX vertices the solve switches from the dense-normal-
+# equations LM to the matrix-free CG LM (backend/pose_graph.py).
+PG_KF_CAP = 2048
+PG_DENSE_MAX = 256
+PG_EDGE_CAP = 4096
 OBJ_FUSE_DIST = 2.0
 
 
@@ -67,10 +76,12 @@ class LoopCloser:
         fix_scale: bool = True,
         consistency: int = 3,
         min_matches: int = 15,
+        db: KeyFrameDatabase | None = None,
     ):
         self.map = slam_map
         self.voc = voc
-        self.db = KeyFrameDatabase(voc)
+        # shared with the system-level relocalizer when provided
+        self.db = db if db is not None else KeyFrameDatabase(voc)
         self.intrinsics = jnp.asarray(intrinsics)
         self.fix_scale = fix_scale
         self.consistency = consistency
@@ -399,7 +410,17 @@ class LoopCloser:
         corrected poses, so spanning-tree/covis edges touching the group
         carry the loop error into the rest of the graph. The fresh loop
         edge uses the corrected relative pose — its residual is zero and
-        it anchors the current side to the (fixed) loop keyframe."""
+        it anchors the current side to the (fixed) loop keyframe.
+
+        Scale: up to PG_DENSE_MAX keyframes the dense LM solves directly;
+        beyond that a COARSE pass first dense-solves a subsampled graph
+        (composed f64 measurements on host) and interpolates its
+        correction — distributing the loop error globally — then the
+        matrix-free CG LM refines all vertices (its block-Jacobi CG
+        converges fast once only local, high-frequency error remains).
+        Edges fill highest-priority first under PG_EDGE_CAP: loop edges,
+        then spanning tree, then strong covisibility — a truncated run
+        must never drop the edges that carry the loop error outward."""
         kf_ids = self._loop_window(kf, loop_kf, PG_KF_CAP)
         slot = {k: i for i, k in enumerate(kf_ids)}
         K = _next_pow2(len(kf_ids), 32, PG_KF_CAP)
@@ -416,60 +437,69 @@ class LoopCloser:
                 return corrections[k][0]
             return self.map.keyframes[k].T_cw
 
-        E = PG_EDGE_CAP
+        new_loop = {(kf.id, loop_kf.id), (loop_kf.id, kf.id)}
+
+        def loop_meas(k, l):
+            if (k, l) in new_loop:
+                return self.map.keyframes[k].T_cw @ _inv_sim3_np(
+                    self.map.keyframes[l].T_cw
+                )
+            return pose_before(k) @ _inv_sim3_np(pose_before(l))
+
+        # collect edges by priority tier (loop > spanning tree > covis)
+        tier_loop, tier_tree, tier_covis = [], [], []
+        for k in kf_ids:
+            okf = self.map.keyframes[k]
+            for l in okf.loop_edges:
+                if l < k and l in slot:
+                    tier_loop.append((k, l, loop_meas(k, l)))
+            if okf.parent is not None and okf.parent in slot:
+                meas = pose_before(k) @ _inv_sim3_np(pose_before(okf.parent))
+                tier_tree.append((k, okf.parent, meas))
+            for other, w in okf.covis.items():
+                if w >= 100 and other < k and other in slot:
+                    meas = pose_before(k) @ _inv_sim3_np(pose_before(other))
+                    tier_covis.append((k, other, meas))
+
+        all_edges = tier_loop + tier_tree + tier_covis
+        if len(all_edges) > PG_EDGE_CAP:
+            log.warning(
+                "pose-graph edge cap: %d edges (%d loop / %d tree / %d "
+                "covis), keeping strongest-priority %d",
+                len(all_edges), len(tier_loop), len(tier_tree),
+                len(tier_covis), PG_EDGE_CAP,
+            )
+            all_edges = all_edges[:PG_EDGE_CAP]
+        n = len(all_edges)
+        if n < 2:
+            return
+        E = _next_pow2(n, 64, PG_EDGE_CAP)
         edge_i = np.zeros(E, np.int32)
         edge_j = np.zeros(E, np.int32)
         edge_meas = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))
         edge_valid = np.zeros(E, np.float32)
-        n = 0
-        truncated = False
+        for idx, (i_id, j_id, meas) in enumerate(all_edges):
+            edge_i[idx] = slot[i_id]
+            edge_j[idx] = slot[j_id]
+            edge_meas[idx] = meas
+            edge_valid[idx] = 1.0
 
-        def add_edge(i_id, j_id, meas):
-            nonlocal n, truncated
-            if i_id not in slot or j_id not in slot:
-                return
-            if n >= E:
-                truncated = True
-                return
-            edge_i[n] = slot[i_id]
-            edge_j[n] = slot[j_id]
-            edge_meas[n] = meas
-            edge_valid[n] = 1.0
-            n += 1
-
-        new_loop = {(kf.id, loop_kf.id), (loop_kf.id, kf.id)}
-        for k in kf_ids:
-            okf = self.map.keyframes[k]
-            # spanning-tree edge (pre-correction relative pose)
-            if okf.parent is not None and okf.parent in slot:
-                meas = pose_before(k) @ _inv_sim3_np(pose_before(okf.parent))
-                add_edge(k, okf.parent, meas)
-            # loop edges: fresh one from corrected poses, old ones from
-            # their (already consistent) stored poses
-            for l in okf.loop_edges:
-                if l < k and l in slot:
-                    if (k, l) in new_loop:
-                        meas = self.map.keyframes[k].T_cw @ _inv_sim3_np(
-                            self.map.keyframes[l].T_cw
-                        )
-                    else:
-                        meas = pose_before(k) @ _inv_sim3_np(pose_before(l))
-                    add_edge(k, l, meas)
-            # strong covisibility
-            for other, w in okf.covis.items():
-                if w >= 100 and other < k and other in slot:
-                    meas = pose_before(k) @ _inv_sim3_np(pose_before(other))
-                    add_edge(k, other, meas)
-        if truncated:
-            print(f"[loop_closing] pose-graph edges truncated at {E}")
-
-        if n < 2:
-            return
-        out = pose_graph.optimize_pose_graph(
-            jnp.asarray(poses), jnp.asarray(fixed), jnp.asarray(edge_i),
-            jnp.asarray(edge_j), jnp.asarray(edge_meas), jnp.asarray(edge_valid),
-            fix_scale=self.fix_scale,
-        )
+        if len(kf_ids) > PG_DENSE_MAX:
+            self._coarse_pg_correct(
+                kf_ids, slot, poses, fixed, pose_before, tier_loop
+            )
+            out = pose_graph.optimize_pose_graph_cg(
+                jnp.asarray(poses), jnp.asarray(fixed), jnp.asarray(edge_i),
+                jnp.asarray(edge_j), jnp.asarray(edge_meas),
+                jnp.asarray(edge_valid), fix_scale=self.fix_scale,
+                cg_iters=min(2 * K, 4096),
+            )
+        else:
+            out = pose_graph.optimize_pose_graph(
+                jnp.asarray(poses), jnp.asarray(fixed), jnp.asarray(edge_i),
+                jnp.asarray(edge_j), jnp.asarray(edge_meas),
+                jnp.asarray(edge_valid), fix_scale=self.fix_scale,
+            )
         new_poses = np.asarray(out)
         if not np.isfinite(new_poses).all():
             return
@@ -480,6 +510,72 @@ class LoopCloser:
                     self.map.keyframes[k].T_cw.copy(), new_poses[i]
                 )
         self._propagate_and_drag(updates)
+
+    def _coarse_pg_correct(
+        self, kf_ids, slot, poses, fixed, pose_before, tier_loop
+    ):
+        """Coarse-grid pass of the large-graph essential optimization:
+        dense-LM a subsampled chain (every stride-th keyframe + all loop
+        ends), measurements composed from pre-correction poses in f64 on
+        host, then interpolate — each skipped keyframe follows its
+        nearest preceding anchor rigidly. Writes corrected poses into
+        `poses` in place (the fine CG stage's initialization)."""
+        stride = max(1, int(np.ceil(len(kf_ids) / PG_DENSE_MAX)))
+        anchors = set(kf_ids[::stride])
+        anchors.add(kf_ids[-1])
+        for k, l, _ in tier_loop:
+            anchors.update((k, l))
+        anchors.update(k for k in kf_ids if fixed[slot[k]] == 1.0)
+        anchors = sorted(anchors)
+        a_slot = {k: i for i, k in enumerate(anchors)}
+        Kc = _next_pow2(len(anchors), 32, 2 * PG_DENSE_MAX)
+        c_poses = np.tile(np.eye(4, dtype=np.float32), (Kc, 1, 1))
+        c_fixed = np.ones(Kc, np.float32)
+        for k, i in a_slot.items():
+            c_poses[i] = poses[slot[k]]
+            c_fixed[i] = fixed[slot[k]]
+        edges = []
+        for m in range(1, len(anchors)):
+            a, b = anchors[m], anchors[m - 1]
+            meas = (
+                pose_before(a).astype(np.float64)
+                @ np.linalg.inv(pose_before(b).astype(np.float64))
+            ).astype(np.float32)
+            edges.append((a_slot[a], a_slot[b], meas))
+        for k, l, meas in tier_loop:
+            edges.append((a_slot[k], a_slot[l], meas))
+        Ec = _next_pow2(len(edges), 64, 4 * PG_DENSE_MAX)
+        ei = np.zeros(Ec, np.int32)
+        ej = np.zeros(Ec, np.int32)
+        em = np.tile(np.eye(4, dtype=np.float32), (Ec, 1, 1))
+        ev = np.zeros(Ec, np.float32)
+        for idx, (i, j, meas) in enumerate(edges):
+            ei[idx], ej[idx], em[idx], ev[idx] = i, j, meas, 1.0
+        out = np.asarray(pose_graph.optimize_pose_graph(
+            jnp.asarray(c_poses), jnp.asarray(c_fixed), jnp.asarray(ei),
+            jnp.asarray(ej), jnp.asarray(em), jnp.asarray(ev),
+            fix_scale=self.fix_scale,
+        ))
+        if not np.isfinite(out).all():
+            return
+        # interpolate: non-anchor keyframes follow the nearest preceding
+        # anchor (rigid within a segment; the fine CG pass smooths it)
+        cur_anchor = None
+        for k in kf_ids:
+            i = slot[k]
+            if k in a_slot:
+                if fixed[i] == 0.0:
+                    old = poses[i].copy()
+                    poses[i] = out[a_slot[k]]
+                    cur_anchor = (old, poses[i])
+                else:
+                    cur_anchor = (poses[i].copy(), poses[i].copy())
+            elif cur_anchor is not None and fixed[i] == 0.0:
+                a_old, a_new = cur_anchor
+                rel = poses[i].astype(np.float64) @ np.linalg.inv(
+                    a_old.astype(np.float64)
+                )
+                poses[i] = (rel @ a_new.astype(np.float64)).astype(np.float32)
 
     # ------------------------------------------------------------------
     def _global_ba(self, kf, loop_kf):
@@ -506,7 +602,16 @@ class LoopCloser:
         anchor = 0 if 0 in slot else loop_kf.id if loop_kf.id in slot else min(kf_ids)
         kf_fixed[slot[anchor]] = 1.0
 
-        pt_ids = self.map.points_seen_by(kf_ids)[:GBA_PT_CAP]
+        # strongest-observed points first under the cap, like local BA
+        # (silent arbitrary-order truncation dropped well-tracked points)
+        pt_ids = self.map.points_seen_by(kf_ids)
+        pt_ids.sort(key=lambda p: -self.map.points[p].n_obs)
+        if len(pt_ids) > GBA_PT_CAP:
+            log.warning(
+                "global BA point cap: %d observed, optimizing strongest %d",
+                len(pt_ids), GBA_PT_CAP,
+            )
+        pt_ids = pt_ids[:GBA_PT_CAP]
         pslot = {p: i for i, p in enumerate(pt_ids)}
         P = GBA_PT_CAP
         points = np.zeros((P, 3), np.float32)

@@ -1,0 +1,169 @@
+"""Essential-graph correction at reference scale (~1000 keyframes).
+
+The reference optimizes the essential graph over ALL keyframes
+(Optimizer.cc:780-1044); round 2 windowed at 256 and dragged the rest
+rigidly, leaving kinks at window boundaries. These tests check that
+
+  * far-tail keyframes (hundreds of ids away from the loop ends) move by
+    OPTIMIZATION — the loop error is distributed smoothly, not dumped at
+    a window boundary;
+  * consecutive relative poses stay near their odometry measurements
+    everywhere (the no-kink assertion, extended past 256 keyframes);
+  * the matrix-free CG solver agrees with the dense solver where both
+    apply.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dspslam_tpu.backend import pose_graph
+from dspslam_tpu.place.loop_closing import LoopCloser
+from dspslam_tpu.place.vocabulary import Vocabulary
+from dspslam_tpu.slam.map import Frame, KeyFrame, Map
+
+FX = FY = 500.0
+CX, CY = 320.0, 240.0
+BF = 200.0
+
+
+def _mini_feats(rng, n_slots=8):
+    return {
+        "xy": rng.uniform(0, 400, (n_slots, 2)).astype(np.float32),
+        "desc": rng.integers(0, 2**32, (n_slots, 8), dtype=np.uint32),
+        "angle": np.zeros(n_slots, np.float32),
+        "level": np.zeros(n_slots, np.int32),
+        "sigma2": np.ones(n_slots, np.float32),
+        "response": np.zeros(n_slots, np.float32),
+        "valid": np.ones(n_slots, np.float32),
+    }
+
+
+def _chain_map(n_kf, drift_per_kf, step=0.5):
+    """Out-and-back street: truth x goes 0 -> L -> 0; estimates drift
+    linearly. Spanning tree = chain; strong covis between neighbors."""
+    rng = np.random.default_rng(3)
+    m = Map()
+    kfs, truth = [], []
+    half = n_kf // 2
+    for k in range(n_kf):
+        x_true = step * k if k < half else step * (2 * half - k)
+        frame = Frame(0.1 * k, _mini_feats(rng))
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = -(x_true + drift_per_kf * k)
+        frame.T_cw = T
+        kf = KeyFrame(frame)
+        m.add_keyframe(kf)
+        if kfs:
+            kf.parent = kfs[-1].id
+            kfs[-1].children.add(kf.id)
+            kf.covis[kfs[-1].id] = 150
+            kfs[-1].covis[kf.id] = 150
+        kfs.append(kf)
+        truth.append(x_true)
+    return m, kfs, np.asarray(truth)
+
+
+def _est_x(kf):
+    return -float(kf.T_cw[0, 3])
+
+
+@pytest.mark.slow
+def test_essential_graph_1000_keyframes_no_rigid_drag():
+    N = 1000
+    DRIFT = 0.003            # 3 m total at the loop
+    m, kfs, truth = _chain_map(N, DRIFT)
+    voc = Vocabulary.train(
+        np.random.default_rng(0).integers(0, 2**32, (64, 8), dtype=np.uint32),
+        branching=4, levels=2, seed=0,
+    )
+    closer = LoopCloser(m, voc, [FX, FY, CX, CY, BF], fix_scale=True)
+
+    # the revisit: final keyframe meets kfs[4]; fabricate the Sim(3)
+    # correction the solver would produce (snap the current keyframe to
+    # truth) for the last few keyframes, as _correct_loop would
+    cur, loop = kfs[-1], kfs[4]
+    corrections = {}
+    for kf in kfs[-3:]:
+        before = kf.T_cw.copy()
+        after = before.copy()
+        after[0, 3] = -truth[kf.id]           # drift removed
+        kf.T_cw = after
+        corrections[kf.id] = (before, after)
+    cur.loop_edges.add(loop.id)
+    loop.loop_edges.add(cur.id)
+
+    closer._optimize_essential_graph(cur, loop, corrections)
+
+    err = np.array([abs(_est_x(kf) - truth[i]) for i, kf in enumerate(kfs)])
+    # far tail: mid-chain keyframes carried 1.5 m drift; optimization
+    # must pull them back (rigid drag from the corrected group cannot —
+    # it would preserve their relative offset to the group)
+    assert err[N // 2] < 0.35, f"mid-chain err {err[N // 2]:.3f}"
+    assert err.max() < 0.5, f"max err {err.max():.3f} at {err.argmax()}"
+    # no-kink: consecutive relative translations stay near the odometry
+    # step everywhere (a window boundary would show a meter-scale jump)
+    est_x = np.array([_est_x(kf) for kf in kfs])
+    rel = np.abs(np.diff(est_x))
+    true_rel = np.abs(np.diff(truth))
+    assert np.abs(rel - true_rel).max() < 0.08, (
+        f"kink {np.abs(rel - true_rel).max():.3f} at "
+        f"{np.abs(rel - true_rel).argmax()}"
+    )
+
+
+def test_cg_solver_matches_dense():
+    """On a 64-vertex drifted circle both solvers recover truth."""
+    def yawmat(y):
+        c, s = np.cos(y), np.sin(y)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+    K = 64
+    R_circ = K * 0.5 / (2 * np.pi)
+    true, est = [], []
+    dyaw, dt = 0.0, np.zeros(3)
+    for k in range(K):
+        th = 2 * np.pi * k / K
+        C = np.array(
+            [R_circ * np.sin(th), 0.0, R_circ * (1 - np.cos(th))], np.float32
+        )
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = yawmat(th)
+        T[:3, 3] = C
+        true.append(np.linalg.inv(T).astype(np.float32))
+        dyaw += 1e-4
+        dt = dt + np.array([0.002, 0.0008, 0.0])
+        Td = T.copy()
+        Td[:3, :3] = yawmat(th + dyaw)
+        Td[:3, 3] = C + dt
+        est.append(np.linalg.inv(Td).astype(np.float32))
+    true = np.stack(true)
+    est = np.stack(est)
+    fixed = np.zeros(K, np.float32)
+    fixed[0] = 1.0
+    ei, ej, em, ev = [], [], [], []
+    for k in range(1, K):
+        ei.append(k)
+        ej.append(k - 1)
+        em.append(true[k] @ np.linalg.inv(true[k - 1]))
+        ev.append(1.0)
+    ei.append(K - 1)
+    ej.append(0)
+    em.append(true[K - 1] @ np.linalg.inv(true[0]))
+    ev.append(1.0)
+    args = (
+        jnp.asarray(est), jnp.asarray(fixed),
+        jnp.asarray(np.array(ei, np.int32)), jnp.asarray(np.array(ej, np.int32)),
+        jnp.asarray(np.stack(em).astype(np.float32)),
+        jnp.asarray(np.array(ev, np.float32)),
+    )
+
+    def cam(T):
+        return -np.einsum("kji,kj->ki", T[:, :3, :3], T[:, :3, 3])
+
+    dense = np.asarray(pose_graph.optimize_pose_graph(*args))
+    cg = np.asarray(pose_graph.optimize_pose_graph_cg(*args, cg_iters=256))
+    init_err = np.abs(cam(est) - cam(true)).max()
+    assert np.abs(cam(dense) - cam(true)).max() < 0.05 * init_err
+    assert np.abs(cam(cg) - cam(true)).max() < 0.05 * init_err
