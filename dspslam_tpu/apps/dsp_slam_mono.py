@@ -32,6 +32,9 @@ def main(argv=None):
     p.add_argument("--map_dir", default="map")
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--no_objects", action="store_true")
+    p.add_argument("--vocabulary", help="trained vocabulary .npz (enables "
+                   "relocalization after tracking loss; loop closing stays "
+                   "stereo-only as in the reference, System.cc:124-132)")
     p.add_argument(
         "--pipeline", action="store_true",
         help="one-frame-lag pipelined tracking (distortion-free "
@@ -86,6 +89,16 @@ def main(argv=None):
         object_pipeline_factory=pipeline_factory,
         detection_source=detection_source,
     )
+    if args.vocabulary and os.path.exists(args.vocabulary):
+        import numpy as np
+
+        from ..place.vocabulary import Vocabulary
+
+        data = np.load(args.vocabulary)
+        system.attach_vocabulary(Vocabulary(
+            int(data["branching"]), int(data["levels"]),
+            data["centers"], data["word_weights"],
+        ))
 
     n = args.frames or seq.num_frames
     timer = StageTimer()

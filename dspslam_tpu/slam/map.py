@@ -194,6 +194,11 @@ class Map:
         self.objects: dict[int, MapObject] = {}
         self.n_dynamic_objects = 0
         self.big_change_index = 0
+        # callbacks fired on keyframe erase — e.g. KeyFrameDatabase
+        # compaction (reference KeyFrameDatabase::erase is called from
+        # KeyFrame::SetBadFlag; without it the inverted index grows
+        # unboundedly under keyframe culling)
+        self.keyframe_erase_hooks: list = []
 
     # -- keyframes ---------------------------------------------------------
     def add_keyframe(self, kf: KeyFrame):
@@ -201,6 +206,8 @@ class Map:
 
     def erase_keyframe(self, kf_id: int):
         self.keyframes.pop(kf_id, None)
+        for hook in self.keyframe_erase_hooks:
+            hook(kf_id)
 
     # -- points ------------------------------------------------------------
     def add_point(self, p: MapPoint):

@@ -46,23 +46,44 @@ class SLAMSystem:
         self.local_mapper = LocalMapper(self.map, lm_cfg, object_pipeline)
         self.detection_source = detection_source   # fn(frame_idx) -> list[Detection]
         self.loop_closer = None
+        self.vocabulary = None
+        self.kf_db = None
         self.frame_idx = 0
+
+    def attach_vocabulary(self, vocabulary):
+        """Always-on KeyFrameDatabase + Relocalizer. The reference takes
+        the vocabulary as a constructor argument and relocalization works
+        in ALL modalities via the always-present database
+        (System.cc:76-87, Tracking.cc:1374) — loop CLOSING stays opt-in
+        and stereo-only (System.cc:124-132; use enable_loop_closing).
+        Every new keyframe's BoW vector is added to the database; culled
+        keyframes are compacted out (KeyFrameDatabase.cc erase parity)."""
+        from ..place.vocabulary import KeyFrameDatabase
+        from .relocalization import Relocalizer
+
+        if self.vocabulary is vocabulary and self.kf_db is not None:
+            return
+        self.vocabulary = vocabulary
+        self.kf_db = KeyFrameDatabase(vocabulary)
+        self.map.keyframe_erase_hooks.append(self.kf_db.erase)
+        c = self.tracker_cfg
+        self.tracker.relocalizer = Relocalizer(
+            self.map, vocabulary, self.kf_db,
+            [c.fx, c.fy, c.cx, c.cy, c.bf],
+        )
 
     def enable_loop_closing(self, vocabulary, fix_scale: bool = True):
         """Attach a loop closer (stereo default: fixed scale). The
-        reference only runs LoopClosing for stereo (System.cc:124-132)."""
+        reference only runs LoopClosing for stereo (System.cc:124-132).
+        Shares the always-on KeyFrameDatabase with the relocalizer."""
         from ..place.loop_closing import LoopCloser
 
+        self.attach_vocabulary(vocabulary)
         c = self.tracker_cfg
         self.loop_closer = LoopCloser(
             self.map, vocabulary,
             [c.fx, c.fy, c.cx, c.cy, c.bf], fix_scale=fix_scale,
-        )
-        from .relocalization import Relocalizer
-
-        self.tracker.relocalizer = Relocalizer(
-            self.map, vocabulary, self.loop_closer.db,
-            [c.fx, c.fy, c.cx, c.cy, c.bf],
+            db=self.kf_db,
         )
 
     # ------------------------------------------------------------------
@@ -126,6 +147,14 @@ class SLAMSystem:
                 # self.frame_idx would be off by one
                 idx = kf.seq_idx if kf.seq_idx >= 0 else self.frame_idx
                 kf.detections = self.detection_source(idx) or []
+            if self.kf_db is not None and self.loop_closer is None:
+                # no loop closer to do it: index the keyframe for
+                # relocalization (Tracking.cc ComputeBoW + KFDB add)
+                bow = self.vocabulary.bow_vector(
+                    kf.feats["desc"], kf.feats["valid"]
+                )
+                kf.bow = bow
+                self.kf_db.add(kf.id, bow)
             self.local_mapper.process(kf)
             if self.loop_closer is not None:
                 if self.loop_closer.insert_keyframe(kf):
