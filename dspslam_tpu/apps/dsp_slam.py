@@ -105,12 +105,9 @@ def main(argv=None):
     p.add_argument(
         "--pipeline", action="store_true",
         help="one-frame-lag pipelined tracking (higher throughput; "
-        "per-frame overlays are skipped — results lag the camera)",
+        "overlays are emitted when each frame finalizes, one frame late)",
     )
     args = p.parse_args(argv)
-    if args.pipeline and args.overlay_dir:
-        print("--pipeline: overlay writing disabled (frames lag the camera)")
-        args.overlay_dir = None
 
     system_cfg = (
         cfg_mod.SystemConfig.load(args.config)
@@ -146,23 +143,45 @@ def main(argv=None):
         import jax
 
         jax.profiler.start_trace(args.profile_dir)
+    # under --pipeline results surface one frame late: overlays are keyed
+    # by the finalized frame's timestamp, matching FrameDrawer semantics
+    # (the reference's drawer also renders the last FINISHED frame,
+    # FrameDrawer.cc:30-80)
+    overlay_pending: dict = {}
+
+    def write_overlay(frame):
+        if frame is None:
+            return
+        from PIL import Image
+
+        from ..viz import frame_drawer
+
+        fid, img = overlay_pending.pop(
+            round(float(frame.timestamp), 6), (None, None)
+        )
+        if fid is None:
+            return
+        os.makedirs(args.overlay_dir, exist_ok=True)
+        overlay = frame_drawer.draw_frame(
+            img, frame.feats, frame.map_point_ids,
+            state=system.state.name,
+        )
+        Image.fromarray(overlay).save(
+            os.path.join(args.overlay_dir, f"{fid:06d}.png")
+        )
+
     for frame_id in range(n):
         img_l, img_r = seq.load_stereo_gray(frame_id)
+        if args.overlay_dir:
+            overlay_pending[round(float(seq.timestamp(frame_id)), 6)] = (
+                frame_id, img_l,
+            )
         with timer.stage("track"):
             frame = system.track_stereo(img_l, img_r, seq.timestamp(frame_id))
         if args.overlay_dir:
-            from PIL import Image
-
-            from ..viz import frame_drawer
-
-            os.makedirs(args.overlay_dir, exist_ok=True)
-            overlay = frame_drawer.draw_frame(
-                img_l, frame.feats, frame.map_point_ids,
-                state=system.state.name,
-            )
-            Image.fromarray(overlay).save(
-                os.path.join(args.overlay_dir, f"{frame_id:06d}.png")
-            )
+            write_overlay(frame)
+            while len(overlay_pending) > 8:     # dropped/lost frames
+                overlay_pending.pop(next(iter(overlay_pending)))
         if args.save_frames_dir and frame_id % args.save_frames_every == 0:
             system.save_map_current_frame(args.save_frames_dir, frame_id)
         if frame_id % 20 == 0:
@@ -172,7 +191,9 @@ def main(argv=None):
                 f"objs={len(system.map.objects)}"
             )
 
-    system.flush()
+    last = system.flush()
+    if args.overlay_dir:
+        write_overlay(last)
     if args.profile_dir:
         import jax
 

@@ -295,6 +295,31 @@ class TestNativeConfigs:
         assert cfg.optimizer.code_len >= 8
 
 
+def test_pipelined_run_writes_overlays(kitti_dir, tmp_path):
+    """--overlay_dir under --pipeline: overlays are written when each
+    frame finalizes (one frame late), not disabled (round-2 gap #3;
+    reference FrameDrawer.cc:30-80 draws the last finished frame)."""
+    from dspslam_tpu.apps import dsp_slam
+
+    overlay_dir = tmp_path / "overlays"
+    dsp_slam.main([
+        "--sequence_dir", str(kitti_dir),
+        "--settings", str(kitti_dir / "settings.yaml"),
+        "--config", str(kitti_dir / "config.json"),
+        "--map_dir", str(tmp_path / "map"),
+        "--no_objects", "--pipeline",
+        "--overlay_dir", str(overlay_dir),
+    ])
+    pngs = sorted(os.listdir(overlay_dir))
+    # every tracked frame gets an overlay, including the flushed final
+    # in-flight frame
+    assert len(pngs) >= N_FRAMES - 1, pngs
+    from PIL import Image
+
+    img = np.asarray(Image.open(overlay_dir / pngs[-1]))
+    assert img.ndim == 3 and img.shape[2] == 3
+
+
 def test_save_frames_dir_feeds_follow_viewer(kitti_dir, tmp_path):
     """dsp_slam --save_frames_dir writes per-frame dumps that the follow
     viewer can animate (the reference's SaveMapCurrentFrame loop)."""
