@@ -1,17 +1,38 @@
 """End-to-end SLAM throughput benchmark on live hardware.
 
-Runs the FULL object-aware stereo pipeline (ORB x2, stereo depth,
-projection matching, motion-only GN, keyframing, local mapping with
-joint BA, per-keyframe object GN + meshes) over an in-memory synthetic
+Runs the FULL object-aware stereo pipeline over an in-memory synthetic
 KITTI-like sequence and reports steady-state frames/second — the
 reference's headline "operates at 10 fps" claim (README.md:3), measured
 the same way (wall clock around the per-frame track call,
 dsp_slam.cc:76-115).
 
-The world is a datasets.synthetic.LayeredWorld: ground plane + three
-depth layers with subpixel-exact stereo, the same information structure
-as a real street scene (near ground anchors camera y/z; see the module
-docstring for the failure modes of simpler fixtures).
+Workload honesty (round 3): the default `full` workload pays, inside the
+measured loop, everything the reference pays per keyframe
+(kitti_sequence.py:101-109 runs both detectors inside get_frame_by_id,
+called from Tracking.cc:1082-1101):
+
+  * PointPillars 3D detection on a ~60k-point synthetic velodyne scan
+    (random weights — cost is weight-independent; sparse pillar upload +
+    full BEV backbone + rotated NMS, one jitted dispatch);
+  * MaskRCNN 2D detection on the full-resolution frame (random weights;
+    ResNet50+FPN+RPN+RoI heads, one jitted dispatch + host mask paste);
+  * object reconstruction with the REAL DeepSDF architecture (64-code
+    8x512 latent-in MLP) — trained at startup on an analytic sphere
+    family (models.deepsdf_train.fit_spheres) since no pretrained
+    weights exist in this environment, so the 10-iteration GN pays the
+    reference's exact decoder cost AND still converges to verifiable
+    geometry — plus marching-tetrahedra mesh extraction.
+
+Detections fed to the SLAM side are fabricated from the scene's ground
+truth (random-weight detector outputs cannot localize); the detector
+*cost* is what the measurement needs, and the synthetic-training
+closed-loop test (tests/test_detector_closed_loop.py) separately proves
+the detector stacks can detect when trained.
+
+The camera trajectory includes a 30-degree turn (the reference's
+standard KITTI operating regime): frames render from full SE(3) poses
+(datasets.synthetic.LayeredWorld.render_pose) and ATE is measured
+against the true SE(3) trajectory.
 
 Usage:  python -m dspslam_tpu.apps.benchmark_slam [--frames 40]
 """
@@ -24,7 +45,8 @@ import time
 
 import numpy as np
 
-from ..datasets.synthetic import LayeredWorld
+from ..datasets.synthetic import LayeredWorld, forward_turn_trajectory, \
+    strafe_yaw_trajectory
 from ..frontend import orb
 from ..models import deepsdf
 from ..objects.detections import Detection
@@ -39,26 +61,56 @@ BF = 379.8145
 H, W = 376, 1241
 BASELINE_M = BF / FX
 CODE_LEN = 64
-SPHERES_W = np.array([[2.0, 1.0, 9.0], [-4.0, 0.5, 14.0]], np.float32)
 RADIUS = 1.0
+STEP = 0.3
+TURN_DEG = 30.0
 
 
-def build_world(seed=0, x_max=40.0):
+def build_world(seed=0, x_max=40.0, turn=True):
+    if turn:
+        return LayeredWorld(
+            W, H, FX, cx=CX, cy=CY, depths=(55.0, 35.0, 20.0),
+            coverage=(1.0, 0.30, 0.20), ground_height=1.65,
+            max_ground_depth=55.0, x_range=(-2.0, 9.0), seed=seed,
+            yaw_max=np.radians(TURN_DEG + 6.0), z_range=(0.0, 15.0),
+        )
     return LayeredWorld(
         W, H, FX, cx=CX, cy=CY, depths=(25.0, 12.0, 7.0),
         ground_height=1.65, x_range=(-1.0, x_max), seed=seed,
     )
 
 
-def render(world, cam_x, baseline_m=0.0):
-    return world.render(cam_x, baseline_m)
+def make_benchmark_trajectory(n_frames):
+    """Straight, a 30-degree arc, straight again (car-like)."""
+    return forward_turn_trajectory(
+        n_frames, step=STEP, turn_start=10, turn_frames=16,
+        total_yaw=np.radians(TURN_DEG),
+    )
 
 
-def make_detections(cam_x, rng):
+def place_spheres(traj):
+    """Spheres ahead of the camera at a few trajectory anchors, sides
+    alternating — ~1-2 in view at any time through the turn."""
+    out = []
+    n = len(traj)
+    for i, k in enumerate(range(2, n, 8)):
+        T = traj[min(k, n - 1)]
+        side = 4.5 if i % 2 == 0 else -4.5
+        c = T[:3, 3] + T[:3, :3] @ np.array([side, 0.85, 13.0])
+        out.append(c)
+    return np.asarray(out, np.float32)
+
+
+def make_detections(T_wc, spheres_w, rng):
+    """GT-derived object measurements in the camera frame (full pose)."""
+    R_cw = T_wc[:3, :3].T
+    C = T_wc[:3, 3]
     dets = []
-    for c_w in SPHERES_W:
-        c = c_w - np.array([cam_x, 0, 0], np.float32)
-        if c[2] < 3.0:
+    for c_w in spheres_w:
+        c = (R_cw @ (c_w - C)).astype(np.float32)
+        if not (4.0 < c[2] < 35.0):
+            continue
+        if abs(c[0] / c[2]) > 0.8 or abs(c[1] / c[2]) > 0.45:
             continue
         d = rng.normal(size=(400, 3))
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
@@ -82,6 +134,107 @@ def make_detections(cam_x, rng):
     return dets
 
 
+def make_velodyne_scan(T_wc, world, spheres_w, rng):
+    """KITTI-like scan in the velodyne frame (x fwd, y left, z up):
+    multi-beam ground rings + the world's plane layers as walls + sphere
+    surfaces + clutter, ~60k points — realistic pillar occupancy for the
+    PointPillars cost (the reference feeds raw HDL-64 scans,
+    detector3d.py:59-67)."""
+    R_cw = T_wc[:3, :3].T
+    C = T_wc[:3, 3]
+
+    def cam_to_velo(pc):
+        return np.stack([pc[:, 2], -pc[:, 0], -pc[:, 1]], -1)
+
+    parts = []
+    # ground rings: 44 beams x 720 azimuths over the front 160 degrees
+    elevs = np.radians(np.linspace(-24.0, -2.1, 44))
+    azims = np.radians(np.linspace(-80.0, 80.0, 720))
+    ee, aa = np.meshgrid(elevs, azims, indexing="ij")
+    r = np.minimum(1.65 / np.sin(-ee), 48.0)
+    gx = r * np.cos(ee) * np.cos(aa)
+    gy = r * np.cos(ee) * np.sin(aa)
+    gz = r * np.sin(ee)
+    g = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    parts.append(g[r.reshape(-1) < 47.9])
+    # walls: the world's plane layers, sampled on a 0.25 m grid in world
+    # coordinates then expressed relative to the camera
+    for z_l in world.depths:
+        xs = np.arange(C[0] - 24.0, C[0] + 24.0, 0.25)
+        ys = np.arange(-2.6, 1.6, 0.25)
+        xx, yy = np.meshgrid(xs, ys)
+        Xw = np.stack([xx, yy, np.full_like(xx, z_l)], -1).reshape(-1, 3)
+        pc = (Xw - C) @ R_cw.T
+        pc = pc[pc[:, 2] > 1.0]
+        parts.append(cam_to_velo(pc))
+    # spheres
+    for c_w in spheres_w:
+        d = rng.normal(size=(600, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        pc = ((c_w + RADIUS * d) - C) @ R_cw.T
+        pc = pc[pc[:, 2] > 1.0]
+        parts.append(cam_to_velo(pc))
+    # clutter
+    parts.append(np.stack([
+        rng.uniform(0.0, 49.0, 3000), rng.uniform(-39.0, 39.0, 3000),
+        rng.uniform(-1.6, 0.9, 3000),
+    ], -1))
+    pts = np.concatenate(parts).astype(np.float32)
+    pts += rng.normal(0.0, 0.01, pts.shape).astype(np.float32)
+    refl = rng.uniform(0.0, 1.0, (len(pts), 1)).astype(np.float32)
+    return np.concatenate([pts, refl], -1)
+
+
+def train_bench_decoder(steps: int, quiet=False):
+    """The reference's decoder architecture, trained on spheres at
+    startup (untimed) — see the module docstring."""
+    from ..models import deepsdf_train
+
+    cfg = deepsdf.DecoderConfig(
+        code_len=CODE_LEN, hidden=(512,) * 8, latent_in=(4,)
+    )
+    t0 = time.perf_counter()
+    params, _, loss = deepsdf_train.fit_spheres(
+        cfg, num_shapes=5, steps=steps, batch=8192, seed=0
+    )
+    if not quiet:
+        print(f"decoder fit: {steps} steps, L1 {loss:.4f}, "
+              f"{time.perf_counter() - t0:.1f} s")
+    return deepsdf.make_decoder_fn(cfg), params
+
+
+class DetectorChannel:
+    """Per-keyframe detector inference + GT-derived measurements.
+
+    Mirrors the reference's per-keyframe excursion into Python
+    (Tracking.cc:1082-1101 -> kitti_sequence.py:101-109): both networks
+    run on the keyframe's real sensor data INSIDE the measured loop; the
+    Detection list fed onward is fabricated from ground truth (see
+    module docstring)."""
+
+    def __init__(self, traj, spheres_w, scans, dev_imgs, det2d, det3d, rng):
+        self.traj = traj
+        self.spheres_w = spheres_w
+        self.scans = scans
+        self.dev_imgs = dev_imgs
+        self.det2d = det2d
+        self.det3d = det3d
+        self.rng = rng
+        self.calls = 0
+        self.detector_boxes = 0
+
+    def __call__(self, idx):
+        idx = min(idx, len(self.traj) - 1)
+        if self.det3d is not None:
+            boxes3d = self.det3d.make_prediction(self.scans[idx])
+            self.detector_boxes += len(boxes3d)
+        if self.det2d is not None:
+            pred2d = self.det2d.make_prediction(self.dev_imgs[idx])
+            self.detector_boxes += len(pred2d["pred_boxes"])
+        self.calls += 1
+        return make_detections(self.traj[idx], self.spheres_w, self.rng)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=16)
@@ -97,27 +250,78 @@ def main(argv=None):
     p.add_argument("--mono", action="store_true",
                    help="monocular mode at reference mono settings "
                    "(4000 features; Redwood/Freiburg pacing is 15/25 fps)")
+    p.add_argument("--workload", choices=("full", "legacy"), default="full",
+                   help="full = detectors + real DeepSDF MLP inside the "
+                   "measured loop (the honest headline); legacy = round-2 "
+                   "fabricated detections + analytic sphere decoder")
+    p.add_argument("--mlp_steps", type=int, default=600,
+                   help="startup decoder-fit steps (full workload)")
     args = p.parse_args(argv)
     if args.mono:
         return main_mono(args)
 
-    world = build_world()
+    import jax
+
+    full = args.workload == "full" and not args.no_objects
+    traj = make_benchmark_trajectory(args.frames + 1)
+    world = build_world(turn=True)
+    spheres_w = place_spheres(traj)
     rng = np.random.default_rng(1)
+
+    # ---- pregenerated sensor inputs (the dataset the reference reads
+    # from disk, dsp_slam.cc:62-75) -----------------------------------
+    t0 = time.perf_counter()
+    host_imgs = []
+    for T in traj:
+        l = np.clip(world.render_pose(T), 0, 255).astype(np.uint8)
+        r = np.clip(world.render_pose(T, BASELINE_M), 0, 255).astype(np.uint8)
+        host_imgs.append((l, r))
+    scans = None
+    if full:
+        scans = [
+            make_velodyne_scan(T, world, spheres_w, rng) for T in traj
+        ]
+    print(f"sensor pregen: {len(traj)} frames"
+          + (f" + scans ({scans[0].shape[0]} pts)" if scans else "")
+          + f", {time.perf_counter() - t0:.1f} s")
+
+    # ---- models ------------------------------------------------------
+    if full:
+        decoder_fn, decoder_params = train_bench_decoder(args.mlp_steps)
+        from ..detect.maskrcnn import Detector2D
+        from ..detect.pointpillars import Detector3D
+
+        det2d = Detector2D()
+        det3d = Detector3D()
+    else:
+        decoder_fn = deepsdf.sphere_decoder_fn
+        decoder_params = deepsdf.make_sphere_params(code_len=CODE_LEN)
+        det2d = det3d = None
+
     cfg = TrackerConfig(
         fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, width=W, height=H,
         min_init_features=400, max_frames_between_kf=5,
         search_radius_motion=25.0,
         pipelined=not args.no_pipeline,
     )
-    cam_xs = {}
 
-    def detection_source(frame_idx):
-        return make_detections(cam_xs[frame_idx], rng)
+    # double-buffered loader: upload pair k+1 asynchronously while frame
+    # k computes; uint8 frames (4x less relay bandwidth than float32)
+    dev_imgs = {}
+
+    def upload(k):
+        l = jax.device_put(host_imgs[k][0])
+        r = jax.device_put(host_imgs[k][1])
+        dev_imgs[k] = l              # MaskRCNN reuses the tracker upload
+        return l, r
+
+    channel = DetectorChannel(
+        traj, spheres_w, scans, dev_imgs, det2d, det3d, rng
+    ) if not args.no_objects else None
 
     def pipeline_factory(slam_map):
         return ObjectPipeline(
-            slam_map, deepsdf.sphere_decoder_fn,
-            deepsdf.make_sphere_params(code_len=CODE_LEN),
+            slam_map, decoder_fn, decoder_params,
             gn.GNConfig(code_len=CODE_LEN, k4=0.0, num_iterations=10),
             max_detections=8, max_surface_points=256, max_rays=512,
             extract_meshes=True, voxels_dim=33,
@@ -129,7 +333,7 @@ def main(argv=None):
         tracker_cfg=cfg,
         orb_params=orb.ORBParams(n_features=2000, n_levels=8),
         object_pipeline_factory=None if args.no_objects else pipeline_factory,
-        detection_source=None if args.no_objects else detection_source,
+        detection_source=channel,
         local_mapper_cfg=LocalMapperConfig(
             fx=FX, fy=FY, cx=CX, cy=CY, bf=BF,
             async_ba=not args.sync_ba,
@@ -137,25 +341,15 @@ def main(argv=None):
         ),
     )
 
-    import jax
+    # detector jit warmup (compile outside the measurement, like every
+    # other program in the system: pre-jit at startup, SURVEY §7)
+    if full:
+        t0 = time.perf_counter()
+        _ = det3d.make_prediction(scans[0])
+        _ = det2d.make_prediction(jax.device_put(host_imgs[0][0]))
+        print(f"detector warmup: {time.perf_counter() - t0:.1f} s")
 
-    step = 0.3
     times = []
-    # double-buffered loader: upload pair k+1 asynchronously while frame k
-    # computes (the standard producer/consumer structure of the reference's
-    # main loop; host->device transfer otherwise serializes on relay TPUs)
-    def upload(k):
-        cam_xs[k] = k * step
-        # uint8 frames, as a real camera delivers them: 4x less relay
-        # bandwidth than float32; device programs cast on entry
-        l = jax.device_put(
-            np.clip(render(world, cam_xs[k]), 0, 255).astype(np.uint8)
-        )
-        r = jax.device_put(
-            np.clip(render(world, cam_xs[k], BASELINE_M), 0, 255).astype(np.uint8)
-        )
-        return l, r
-
     pair = upload(0)
     for k in range(args.frames):
         next_pair = upload(k + 1) if k + 1 < args.frames else None
@@ -165,11 +359,11 @@ def main(argv=None):
         pair = next_pair
     system.flush()
 
-    steady = np.asarray(times[args.warmup :])
-    fps = 1.0 / np.median(steady)
+    steady = np.asarray(times[args.warmup:])
+    fps_median = 1.0 / np.median(steady)
+    fps_mean = 1.0 / steady.mean()
 
-    # trajectory accuracy against the synthetic ground truth (pure +x
-    # dolly at `step` m/frame), no alignment gauge games: SE(3) Umeyama
+    # trajectory accuracy against the synthetic SE(3) ground truth
     from ..utils.evaluation import ate_rmse
 
     est, gt = [], []
@@ -180,37 +374,52 @@ def main(argv=None):
         T_wc[:3, :3] = T_cw[:3, :3].T
         T_wc[:3, 3] = -T_cw[:3, :3].T @ T_cw[:3, 3]
         est.append(T_wc)
-        g = np.eye(4)
-        g[0, 3] = cam_xs[int(round(ts / 0.1))]
-        gt.append(g)
+        gt.append(traj[int(round(ts / 0.1))])
     ate = ate_rmse(np.stack(est), np.stack(gt))
 
+    n_det = channel.calls if channel else 0
     print(
         f"state={system.state.name} kfs={len(system.map.keyframes)} "
-        f"pts={len(system.map.points)} objs={len(system.map.objects)}"
+        f"pts={len(system.map.points)} objs={len(system.map.objects)} "
+        f"detector_calls={n_det}"
     )
     print(
         f"median frame {np.median(steady) * 1e3:.1f} ms, mean "
-        f"{steady.mean() * 1e3:.1f} ms -> {fps:.1f} fps (target >= 10); "
-        f"ATE RMSE {ate['rmse'] * 100:.1f} cm over "
-        f"{(args.frames - 1) * step:.1f} m"
+        f"{steady.mean() * 1e3:.1f} ms -> {fps_mean:.1f} fps sustained "
+        f"({fps_median:.1f} median; target >= 10); "
+        f"ATE RMSE {ate['rmse'] * 100:.1f} cm through a "
+        f"{TURN_DEG:.0f} deg turn, {STEP * args.frames:.1f} m"
     )
     print(json.dumps({
-        "metric": "slam_fps_end_to_end", "value": round(float(fps), 2),
-        "unit": "fps", "vs_baseline": round(float(fps) / 10.0, 3),
+        "metric": "slam_fps_end_to_end", "value": round(float(fps_mean), 2),
+        "unit": "fps", "vs_baseline": round(float(fps_mean) / 10.0, 3),
+        "median_fps": round(float(fps_median), 2),
         "ate_rmse_cm": round(ate["rmse"] * 100, 2),
+        "workload": "detectors+mlp" if full else "legacy",
+        "turn_deg": TURN_DEG,
     }))
-    return fps
+    return float(fps_mean)
 
 
 def main_mono(args):
     """Monocular throughput at the reference's mono settings (4000
     features, 8 levels — redwood/freiburg YAMLs; pacing targets 15 and
     25 fps). Objects off: mono objects reconstruct every ~5th keyframe
-    from accumulated map points, negligible per-frame cost."""
+    from accumulated map points, negligible per-frame cost. The
+    trajectory is a strafe whose view yaw ramps 20 degrees mid-run."""
     import jax
 
-    world = build_world()
+    world = build_world(turn=False)
+    # widen canvases for the yaw segment
+    world = LayeredWorld(
+        W, H, FX, cx=CX, cy=CY, depths=(25.0, 12.0, 7.0),
+        ground_height=1.65, x_range=(-1.0, 0.3 * (args.frames + 2)),
+        seed=0, yaw_max=np.radians(24.0),
+    )
+    traj = strafe_yaw_trajectory(
+        args.frames + 1, step=STEP, yaw_start=max(6, args.frames // 3),
+        yaw_frames=max(8, args.frames // 3), total_yaw=np.radians(20.0),
+    )
     cfg = TrackerConfig(
         fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, width=W, height=H,
         min_init_features=400, max_frames_between_kf=5,
@@ -221,13 +430,13 @@ def main_mono(args):
         tracker_cfg=cfg,
         orb_params=orb.ORBParams(n_features=4000, n_levels=8),
     )
-    step = 0.3
+    host_imgs = [
+        np.clip(world.render_pose(T), 0, 255).astype(np.uint8) for T in traj
+    ]
     times = []
 
     def upload(k):
-        return jax.device_put(
-            np.clip(render(world, k * step), 0, 255).astype(np.uint8)
-        )
+        return jax.device_put(host_imgs[k])
 
     img = upload(0)
     for k in range(args.frames):
@@ -238,7 +447,7 @@ def main_mono(args):
         img = nxt
     system.flush()
 
-    steady = np.asarray(times[args.warmup :])
+    steady = np.asarray(times[args.warmup:])
     fps = 1.0 / np.median(steady)
     print(
         f"state={system.state.name} kfs={len(system.map.keyframes)} "

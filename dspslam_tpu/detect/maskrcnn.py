@@ -292,9 +292,13 @@ def roi_align_fpn(feats, boxes, out_size, strides=(4, 8, 16, 32)):
 
 @partial(jax.jit, static_argnums=(2, 3))
 def detect(params, img, image_hw: tuple, cfg: MaskRCNNConfig):
-    """(H, W, 3) uint8/float image -> dict(boxes (K, 4), scores (K,),
-    labels (K,), valid (K,), masks (K, 28, 28) logits)."""
+    """(H, W, 3) uint8/float image (or (H, W) grayscale, tiled on
+    device — saves 3x host->device bandwidth) -> dict(boxes (K, 4),
+    scores (K,), labels (K,), valid (K,), masks (K, 28, 28) logits)."""
     H, W = image_hw
+    img = jnp.asarray(img)
+    if img.ndim == 2:
+        img = jnp.broadcast_to(img[..., None], (*img.shape, 3))
     x = (jnp.asarray(img, jnp.float32) / 255.0 - jnp.asarray([0.485, 0.456, 0.406])) \
         / jnp.asarray([0.229, 0.224, 0.225])
     x = x.transpose(2, 0, 1)[None]
@@ -400,11 +404,14 @@ class Detector2D:
         self.cfg = cfg
         self.params = params or init_params(cfg, jax.random.PRNGKey(0))
         self.class_ids = OBJECT_CLASS_TABLE.get(object_class, [2])
+        # whole-network jit (one dispatch per frame; eager tracing costs
+        # hundreds of op-by-op round trips on relay-attached devices)
+        self._detect = jax.jit(detect, static_argnums=(2, 3))
 
     def make_prediction(self, img_rgb: np.ndarray) -> dict:
-        """(H, W, 3) -> {'pred_boxes': (M, 5), 'pred_masks': (M, H, W)}."""
+        """(H, W, 3) or (H, W) -> {'pred_boxes': (M, 5), 'pred_masks': (M, H, W)}."""
         hw = img_rgb.shape[:2]
-        out = detect(self.params, jnp.asarray(img_rgb), hw, self.cfg)
+        out = self._detect(self.params, jnp.asarray(img_rgb), hw, self.cfg)
         boxes = np.asarray(out["boxes"])
         scores = np.asarray(out["scores"])
         labels = np.asarray(out["labels"])

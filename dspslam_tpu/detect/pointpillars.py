@@ -424,15 +424,23 @@ class Detector3D:
         W = cfg.grid_size[0] // 2
         self.anchors = jnp.asarray(_anchors(cfg, (H, W)))
 
+        # whole-network jit: sparse pillar tensors in, NMS'd boxes out —
+        # ONE dispatch per scan instead of op-by-op eager execution
+        def _run(params, sparse, anchors):
+            pil = build_pillars_device(sparse, self.cfg)
+            cls, deltas, dirs = forward(params, pil, self.cfg)
+            boxes = decode_boxes(deltas, anchors)
+            return select_detections(cls, boxes, dirs, self.cfg)
+
+        self._run = jax.jit(_run)
+
     def make_prediction(self, velo_points: np.ndarray) -> np.ndarray:
         """(N, 4) scan -> (K, 7) [x, y, z, w, l, h, yaw] car boxes."""
         sp = pillarize_sparse(velo_points, self.cfg)
-        pil = build_pillars_device(
-            {k: jnp.asarray(v) for k, v in sp.items()}, self.cfg
+        out_boxes, scores, valid = self._run(
+            self.params, {k: jnp.asarray(v) for k, v in sp.items()},
+            self.anchors,
         )
-        cls, deltas, dirs = forward(self.params, pil, self.cfg)
-        boxes = decode_boxes(deltas, self.anchors)
-        out_boxes, scores, valid = select_detections(cls, boxes, dirs, self.cfg)
         out = np.asarray(out_boxes)[np.asarray(valid) > 0]
         return out
 

@@ -76,19 +76,25 @@ def sdf_loss(
     return data + reg
 
 
-@partial(jax.jit, static_argnums=(2, 3), donate_argnums=(0,))
-def train_step(state: TrainState, batch: dict, config, optimizer) -> tuple:
+@partial(jax.jit, static_argnums=(2, 3, 4), donate_argnums=(0,))
+def train_step(
+    state: TrainState, batch: dict, config, optimizer, clamp: float = 0.1
+) -> tuple:
     """One SGD step. batch = {shape_idx (B,), xyz (B,3), sdf (B,)}.
 
     Sharding is carried by the input arrays: put the batch on ``dp`` and
     the params on ``tp`` (parallel.mesh_utils) and XLA emits psums over
-    the right axes automatically.
+    the right axes automatically. `clamp` is the reference's
+    ClampingDistance (0.1); cold starts need a wider band — a freshly
+    initialized net predicting outside +-clamp everywhere gets ZERO
+    gradient from clamped targets.
     """
 
     def loss_fn(params_and_codes):
         params, codes = params_and_codes
         return sdf_loss(
-            params, codes, batch["shape_idx"], batch["xyz"], batch["sdf"], config
+            params, codes, batch["shape_idx"], batch["xyz"], batch["sdf"],
+            config, clamp=clamp,
         )
 
     loss, grads = jax.value_and_grad(loss_fn)((state.params, state.codes))
@@ -181,3 +187,38 @@ def make_sphere_dataset(key, num_shapes=4, n=4096):
     radii = 0.3 + 0.1 * jnp.arange(num_shapes)
     sdf = jnp.linalg.norm(xyz, axis=-1) - radii[shape_idx]
     return {"shape_idx": shape_idx, "xyz": xyz, "sdf": sdf}
+
+
+def fit_spheres(
+    config: deepsdf.DecoderConfig,
+    num_shapes: int = 5,
+    steps: int = 400,
+    batch: int = 8192,
+    seed: int = 0,
+    lr: float = 1e-3,
+):
+    """Train the decoder to represent spheres (radii 0.3 .. 0.3+0.1*K).
+
+    No pretrained DeepSDF weights exist in this environment, so
+    benchmarks and closed-loop tests train the REAL architecture (the
+    reference's 64-code 8x512 latent-in MLP, deep_sdf_decoder.py:9-110)
+    on an analytic shape family at startup: the GN reconstructor then
+    pays the exact per-iteration decoder cost of the reference while
+    still converging to verifiable geometry. The code regularizer keeps
+    latents near 0, so the zero code (the GN initializer) decodes to
+    roughly the mean-radius sphere.
+
+    Returns (params, codes, final_loss). All compute stays on device;
+    the loop only syncs once at the end.
+    """
+    optimizer = make_optimizer(lr)
+    state = init_state(config, num_shapes, jax.random.PRNGKey(seed), optimizer)
+    key = jax.random.PRNGKey(seed + 1)
+    loss = None
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        data = make_sphere_dataset(sub, num_shapes, batch)
+        # clamp 0.5 covers the whole sphere interior: the full-range L1
+        # keeps gradients alive from cold init (see train_step note)
+        state, loss = train_step(state, data, config, optimizer, 0.5)
+    return state.params, state.codes, float(np.asarray(loss))
