@@ -12,14 +12,21 @@ zero when the current relative pose matches the measured one. Loop-edge
 measurements come from the Sim3 solver; graph-edge measurements from the
 pre-correction poses.
 
-Both solvers run Levenberg-Marquardt (adaptive damping with
-accept/reject, like the reference's g2o OptimizationAlgorithmLevenberg):
-a plain Gauss-Newton step on a freshly closed loop carries meter-scale
-translational residuals whose linearization exploits rotation lever
-arms, and the EXACT linearized optimum overshoots the nonlinear
-objective (measured: err 1.4 m -> 9.3 m on a 256-vertex chain even with
-a float64 solve). LM's rejected-step backoff is what makes the large-K
-graphs converge, not solver precision.
+Three ingredients make this converge at reference scale in f32 (each
+was verified necessary on fabricated drifted loops):
+
+1. Levenberg-Marquardt (adaptive damping with accept/reject, like g2o's
+   OptimizationAlgorithmLevenberg): a plain GN step on a freshly closed
+   loop carries meter-scale translational residuals whose linearization
+   exploits rotation lever arms, and the EXACT linearized optimum
+   overshoots the nonlinear objective (measured: err 1.4 m -> 9.3 m on
+   a 256-vertex chain even with a float64 solve).
+2. Delta parameterization (see _make_linearizer): residual compositions
+   on absolute poses cancel scene-size translations and floor chi2 at
+   ~|position|*eps in f32.
+3. Wide Taylor guards in ops/lie.py: the exact small-angle coefficient
+   formulas are ~100% f32 noise below theta ~ 1e-2, which poisoned the
+   rotation/translation coupling Jacobians.
 
 * `optimize_pose_graph` — dense normal equations, right for <= ~512
   vertices (a ~3.5k-dim solve; (K, K, 7, 7) assembly is O(K^2) memory).

@@ -66,3 +66,26 @@ def batch_sharding(mesh: Mesh):
         )
 
     return put
+
+
+def sharded_object_gn(mesh: Mesh, batched_recon, params, *batch_args):
+    """Sharded INFERENCE path for the per-keyframe multi-object GN: the
+    object batch shards over `dp`, decoder params replicate, and XLA
+    partitions the vmapped reconstruction with zero collectives in the
+    hot loop (objects are independent). This is the multi-chip analogue
+    of the reference's per-keyframe reconstruct_object loop
+    (LocalMapping_util.cc:156-205 runs objects serially on one GPU).
+
+    When is one chip simply enough? The per-keyframe batch is small
+    (<= 8 objects at reference caps, ~7 ms/object on one v5e), so
+    sharding pays only when amortizing many keyframes offline (map-wide
+    re-reconstruction, extract_map_objects over hundreds of objects) —
+    live SLAM keeps the whole batch on the tracking chip.
+    """
+    params = jax.tree.map(
+        lambda w: jax.device_put(w, NamedSharding(mesh, P())), params
+    )
+    put = batch_sharding(mesh)
+    args = tuple(put(a) for a in batch_args)
+    with mesh:
+        return batched_recon(params, *args)

@@ -102,6 +102,55 @@ class TestShardedMeshDecode:
         ))
         np.testing.assert_allclose(got, ref, atol=1e-6)
 
+    def test_sharded_object_gn_matches_unsharded(self):
+        """Per-keyframe multi-object GN with the object batch sharded
+        over dp (mesh_utils.sharded_object_gn) reproduces the
+        single-device result — objects are independent, so partitioning
+        inserts no collectives in the hot loop."""
+        import numpy as np
+
+        from dspslam_tpu.models import deepsdf
+        from dspslam_tpu.parallel import mesh_utils
+        from dspslam_tpu.shape import gn
+
+        cfg = gn.GNConfig(
+            code_len=8, num_iterations=2, num_depth_samples=8,
+            max_grad_points=64,
+        )
+        params = deepsdf.make_sphere_params(code_len=8)
+        recon = gn.batched_reconstruct(deepsdf.sphere_decoder_fn, cfg)
+        B, P, R = 8, 32, 32
+        rng = np.random.default_rng(0)
+        t = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        t[:, :3, :3] *= 2.0
+        t[:, 2, 3] = 8.0
+        dirs = rng.normal(size=(B, P, 3))
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        args = (
+            jnp.asarray(t),
+            jnp.asarray(dirs + np.array([0, 0, 8.0]), jnp.float32),
+            jnp.ones((B, P), jnp.float32),
+            jnp.asarray(
+                rng.normal(0, 0.05, (B, R, 3)) + np.array([0, 0, 1.0]),
+                jnp.float32,
+            ),
+            jnp.ones((B, R), jnp.float32),
+            jnp.full((B, R), 8.0, jnp.float32),
+            jnp.ones((B, R), jnp.float32),
+            jnp.zeros((B, 8), jnp.float32),
+        )
+        ref = recon(params, *args)
+        got = mesh_utils.sharded_object_gn(
+            mesh_utils.make_mesh(8, tp=1), recon, params, *args
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["t_cam_obj"]), np.asarray(ref["t_cam_obj"]),
+            atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["loss"]), np.asarray(ref["loss"]), atol=1e-4
+        )
+
     def test_extractor_with_mesh_produces_sphere(self):
         import numpy as np
 
