@@ -84,16 +84,21 @@ def bench_slam_fps(frames: int = 40, extra=()):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         fps = benchmark_slam.main(["--frames", str(frames), *extra])
-    ate_cm = None
+    info = {}
     for line in buf.getvalue().splitlines():
         if line.startswith("{"):
-            ate_cm = json.loads(line).get("ate_rmse_cm")
-    return float(fps), ate_cm
+            info = json.loads(line)
+    return float(fps), info
 
 
 def main():
-    fps, ate_cm = bench_slam_fps()
-    mono_fps, _ = bench_slam_fps(extra=("--mono",))
+    fps, info = bench_slam_fps()
+    mono_r, _ = bench_slam_fps(
+        frames=30, extra=("--mono", "--mono_profile", "redwood")
+    )
+    mono_f, _ = bench_slam_fps(
+        frames=30, extra=("--mono", "--mono_profile", "freiburg")
+    )
     gn_ms = bench_gn()
     print(
         json.dumps(
@@ -102,11 +107,16 @@ def main():
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / 10.0, 3),
+                "workload": info.get("workload"),
+                "median_fps": info.get("median_fps"),
+                "turn_deg": info.get("turn_deg"),
                 "gn_recon_ms_per_object": round(gn_ms, 3),
                 "gn_vs_baseline_50ms": round(50.0 / gn_ms, 3),
-                "mono_fps_4000feat": round(mono_fps, 2),
-                "mono_vs_freiburg_pacing_25fps": round(mono_fps / 25.0, 3),
-                "ate_rmse_cm": ate_cm,
+                "mono_fps_redwood": round(mono_r, 2),
+                "mono_vs_redwood_pacing_15fps": round(mono_r / 15.0, 3),
+                "mono_fps_freiburg": round(mono_f, 2),
+                "mono_vs_freiburg_pacing_25fps": round(mono_f / 25.0, 3),
+                "ate_rmse_cm": info.get("ate_rmse_cm"),
             }
         )
     )

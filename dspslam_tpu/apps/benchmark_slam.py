@@ -225,20 +225,31 @@ class DetectorChannel:
 
     def __call__(self, idx):
         idx = min(idx, len(self.traj) - 1)
-        if self.det3d is not None:
-            boxes3d = self.det3d.make_prediction(self.scans[idx])
-            self.detector_boxes += len(boxes3d)
-        if self.det2d is not None:
-            pred2d = self.det2d.make_prediction(self.dev_imgs[idx])
-            self.detector_boxes += len(pred2d["pred_boxes"])
+        # dispatch both networks first, then do the host-side work while
+        # they run and their outputs stream back (round trips dominate
+        # relay-attached latency, not compute)
+        h3 = self.det3d.dispatch(self.scans[idx]) if self.det3d else None
+        h2 = self.det2d.dispatch(self.dev_imgs[idx]) if self.det2d else None
+        dets = make_detections(self.traj[idx], self.spheres_w, self.rng)
+        if h3 is not None:
+            self.detector_boxes += len(self.det3d.collect(h3))
+        if h2 is not None:
+            self.detector_boxes += len(
+                self.det2d.collect(h2)["pred_boxes"]
+            )
         self.calls += 1
-        return make_detections(self.traj[idx], self.spheres_w, self.rng)
+        return dets
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=16)
-    p.add_argument("--warmup", type=int, default=6)
+    p.add_argument("--warmup", type=int, default=None,
+                   help="steady-state cutoff; default 6 (legacy) or 18 "
+                   "(full workload: the first ~3 keyframes compile the "
+                   "GN/measure/mesh/BA programs — a JAX one-time cost "
+                   "the persistent compilation cache removes on "
+                   "subsequent runs)")
     p.add_argument("--no_objects", action="store_true")
     p.add_argument("--no_pipeline", action="store_true",
                    help="disable one-frame-lag pipelined tracking")
@@ -250,6 +261,11 @@ def main(argv=None):
     p.add_argument("--mono", action="store_true",
                    help="monocular mode at reference mono settings "
                    "(4000 features; Redwood/Freiburg pacing is 15/25 fps)")
+    p.add_argument("--mono_profile", choices=("redwood", "freiburg"),
+                   default="redwood",
+                   help="camera geometry + pacing target: redwood = "
+                   "640x480 @ 15 fps, freiburg = 960x540 @ 25 fps "
+                   "(reference redwood_01053.yaml / freiburg_001.yaml)")
     p.add_argument("--workload", choices=("full", "legacy"), default="full",
                    help="full = detectors + real DeepSDF MLP inside the "
                    "measured loop (the honest headline); legacy = round-2 "
@@ -257,12 +273,27 @@ def main(argv=None):
     p.add_argument("--mlp_steps", type=int, default=600,
                    help="startup decoder-fit steps (full workload)")
     args = p.parse_args(argv)
-    if args.mono:
-        return main_mono(args)
 
     import jax
 
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/dspslam_jax_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    if args.mono:
+        if args.warmup is None:
+            args.warmup = 6
+        return main_mono(args)
+
     full = args.workload == "full" and not args.no_objects
+    if args.warmup is None:
+        args.warmup = 18 if full else 6
+    if args.frames <= args.warmup:
+        args.warmup = max(args.frames // 2, 1)
     traj = make_benchmark_trajectory(args.frames + 1)
     world = build_world(turn=True)
     spheres_w = place_spheres(traj)
@@ -401,18 +432,29 @@ def main(argv=None):
     return float(fps_mean)
 
 
+MONO_PROFILES = {
+    # geometry + pacing from the reference mono YAMLs
+    # (redwood_01053.yaml: 640x480 fx 538 @ 15 fps;
+    #  freiburg_001.yaml: 960x540 fx 930 @ 25 fps)
+    "redwood": dict(w=640, h=480, fx=538.2, cx=320.0, cy=240.0, fps=15.0),
+    "freiburg": dict(w=960, h=540, fx=930.2, cx=480.0, cy=270.0, fps=25.0),
+}
+
+
 def main_mono(args):
     """Monocular throughput at the reference's mono settings (4000
-    features, 8 levels — redwood/freiburg YAMLs; pacing targets 15 and
-    25 fps). Objects off: mono objects reconstruct every ~5th keyframe
-    from accumulated map points, negligible per-frame cost. The
-    trajectory is a strafe whose view yaw ramps 20 degrees mid-run."""
+    features, 8 levels, the actual Redwood/Freiburg camera geometries;
+    pacing targets 15 and 25 fps). Objects off: mono objects
+    reconstruct every ~5th keyframe from accumulated map points,
+    negligible per-frame cost. The trajectory is a strafe whose view
+    yaw ramps 20 degrees mid-run."""
     import jax
 
-    world = build_world(turn=False)
-    # widen canvases for the yaw segment
+    prof = MONO_PROFILES[args.mono_profile]
+    mw, mh, mfx = prof["w"], prof["h"], prof["fx"]
+    mcx, mcy = prof["cx"], prof["cy"]
     world = LayeredWorld(
-        W, H, FX, cx=CX, cy=CY, depths=(25.0, 12.0, 7.0),
+        mw, mh, mfx, cx=mcx, cy=mcy, depths=(25.0, 12.0, 7.0),
         ground_height=1.65, x_range=(-1.0, 0.3 * (args.frames + 2)),
         seed=0, yaw_max=np.radians(24.0),
     )
@@ -421,7 +463,7 @@ def main_mono(args):
         yaw_frames=max(8, args.frames // 3), total_yaw=np.radians(20.0),
     )
     cfg = TrackerConfig(
-        fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, width=W, height=H,
+        fx=mfx, fy=mfx, cx=mcx, cy=mcy, bf=mfx * 0.5, width=mw, height=mh,
         min_init_features=400, max_frames_between_kf=5,
         search_radius_motion=25.0,
         pipelined=not args.no_pipeline,
@@ -449,6 +491,7 @@ def main_mono(args):
 
     steady = np.asarray(times[args.warmup:])
     fps = 1.0 / np.median(steady)
+    pace = prof["fps"]
     print(
         f"state={system.state.name} kfs={len(system.map.keyframes)} "
         f"pts={len(system.map.points)}"
@@ -456,11 +499,12 @@ def main_mono(args):
     print(
         f"median frame {np.median(steady) * 1e3:.1f} ms, mean "
         f"{steady.mean() * 1e3:.1f} ms -> {fps:.1f} fps "
-        f"(mono pacing targets 15 / 25)"
+        f"({args.mono_profile} {mw}x{mh}, pacing target {pace:.0f})"
     )
     print(json.dumps({
-        "metric": "mono_slam_fps", "value": round(float(fps), 2),
-        "unit": "fps", "vs_baseline": round(float(fps) / 25.0, 3),
+        "metric": f"mono_slam_fps_{args.mono_profile}",
+        "value": round(float(fps), 2),
+        "unit": "fps", "vs_baseline": round(float(fps) / pace, 3),
     }))
     return fps
 

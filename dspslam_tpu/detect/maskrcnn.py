@@ -408,10 +408,20 @@ class Detector2D:
         # hundreds of op-by-op round trips on relay-attached devices)
         self._detect = jax.jit(detect, static_argnums=(2, 3))
 
-    def make_prediction(self, img_rgb: np.ndarray) -> dict:
-        """(H, W, 3) or (H, W) -> {'pred_boxes': (M, 5), 'pred_masks': (M, H, W)}."""
+    def dispatch(self, img_rgb) -> dict:
+        """Async half of make_prediction: launch the jitted network and
+        start streaming the outputs (see Detector3D.dispatch)."""
         hw = img_rgb.shape[:2]
         out = self._detect(self.params, jnp.asarray(img_rgb), hw, self.cfg)
+        for a in out.values():
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        return {"out": out, "hw": hw}
+
+    def collect(self, handle) -> dict:
+        out, hw = handle["out"], handle["hw"]
         boxes = np.asarray(out["boxes"])
         scores = np.asarray(out["scores"])
         labels = np.asarray(out["labels"])
@@ -427,6 +437,10 @@ class Detector2D:
             ),
             "pred_masks": masks[keep],
         }
+
+    def make_prediction(self, img_rgb: np.ndarray) -> dict:
+        """(H, W, 3) or (H, W) -> {'pred_boxes': (M, 5), 'pred_masks': (M, H, W)}."""
+        return self.collect(self.dispatch(img_rgb))
 
 
 def get_valid_detections(boxes, masks, image_hw, min_bb_area=1600.0,

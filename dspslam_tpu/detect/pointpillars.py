@@ -133,20 +133,30 @@ def pillarize(points: np.ndarray, cfg: PointPillarsConfig):
     }
 
 
+PT_QUANT = 0.002    # fixed-point transport resolution (meters / unit)
+
+
 def pillarize_sparse(points: np.ndarray, cfg: PointPillarsConfig,
                      point_cap: int | None = None):
     """Host pillar ASSIGNMENT only — returns fixed-cap SPARSE arrays
-    (~1 MB) instead of the dense (P, M, 10) tensor (~15 MB): on
-    relay-attached TPUs the dense upload costs ~200 ms/scan, 6x the
-    whole network. build_pillars_device scatters them on device.
+    instead of the dense (P, M, 10) tensor (~15 MB): on relay-attached
+    TPUs the dense upload costs ~200 ms/scan, 6x the whole network.
+    build_pillars_device scatters them on device.
 
-    Returns dict(s_idx (C,), r_idx (C,), pts (C, 4), pt_valid (C,),
-    coords (P, 2), pillar_mask (P,), n_per (P,)) with
-    C = point_cap (default P*M/4, enough for real scans)."""
+    Transport is compacted for bandwidth-starved links (~0.6 MB/scan vs
+    1.6 MB naive sparse vs 15 MB dense): points ride as 2 mm fixed-point
+    int16 (exact to 2 mm everywhere — better than float16's 5 cm at
+    50 m), indices as uint16/uint8, and validity as one scalar count
+    (points are packed contiguously).
+
+    Returns dict(pts_q (C, 4) i16, s_idx (C,) u16, r_idx (C,) u8,
+    n_pts () i32, coords (P, 2) i16, n_per (P,) u8) with C = point_cap
+    (default: the kept-point count rounded up to a 16384 multiple, so
+    the jitted consumer sees a stable shape across a sequence)."""
     x0, y0, z0, x1, y1, z1 = cfg.pc_range
     vx, vy, _ = cfg.voxel_size
     P, M = cfg.max_pillars, cfg.max_points_per_pillar
-    C = point_cap or (P * M // 4)
+    assert P < 65536 and M < 256, "index transport dtypes too narrow"
 
     keep = (
         (points[:, 0] >= x0) & (points[:, 0] < x1)
@@ -154,6 +164,7 @@ def pillarize_sparse(points: np.ndarray, cfg: PointPillarsConfig,
         & (points[:, 2] >= z0) & (points[:, 2] < z1)
     )
     pts = points[keep]
+    C = point_cap or max(16384, -(-len(pts) // 16384) * 16384)
     ix = ((pts[:, 0] - x0) / vx).astype(np.int64)
     iy = ((pts[:, 1] - y0) / vy).astype(np.int64)
     nx, ny = cfg.grid_size
@@ -164,9 +175,9 @@ def pillarize_sparse(points: np.ndarray, cfg: PointPillarsConfig,
     slot_of[order] = np.arange(len(order))
     slots = slot_of[inv]
 
-    coords = np.zeros((P, 2), np.int32)
-    coords[: len(order), 0] = (uniq[order] % nx).astype(np.int32)
-    coords[: len(order), 1] = (uniq[order] // nx).astype(np.int32)
+    coords = np.zeros((P, 2), np.int16)
+    coords[: len(order), 0] = (uniq[order] % nx).astype(np.int16)
+    coords[: len(order), 1] = (uniq[order] // nx).astype(np.int16)
     pt_order = np.argsort(slots, kind="stable")
     ss = slots[pt_order]
     ranks = np.arange(len(ss)) - np.searchsorted(ss, ss)
@@ -175,21 +186,21 @@ def pillarize_sparse(points: np.ndarray, cfg: PointPillarsConfig,
     r_idx = ranks[sel][:C]
     p_sel = pts[pt_order[sel]][:C]
     n = len(s_idx)
-    n_per = np.bincount(s_idx, minlength=P).astype(np.float32)
+    n_per = np.bincount(s_idx, minlength=P).astype(np.uint8)
 
     out = {
-        "s_idx": np.zeros(C, np.int32),
-        "r_idx": np.zeros(C, np.int32),
-        "pts": np.zeros((C, 4), np.float32),
-        "pt_valid": np.zeros(C, np.float32),
+        "s_idx": np.zeros(C, np.uint16),
+        "r_idx": np.zeros(C, np.uint8),
+        "pts_q": np.zeros((C, 4), np.int16),
+        "n_pts": np.int32(n),
         "coords": coords,
-        "pillar_mask": (n_per > 0).astype(np.float32),
         "n_per": n_per,
     }
     out["s_idx"][:n] = s_idx
     out["r_idx"][:n] = r_idx
-    out["pts"][:n] = p_sel[:, :4]
-    out["pt_valid"][:n] = 1.0
+    out["pts_q"][:n] = np.clip(
+        np.round(p_sel[:, :4] / PT_QUANT), -32767, 32767
+    ).astype(np.int16)
     return out
 
 
@@ -197,19 +208,23 @@ def pillarize_sparse(points: np.ndarray, cfg: PointPillarsConfig,
 def build_pillars_device(sparse: dict, cfg: PointPillarsConfig):
     """Scatter the sparse per-point arrays into the dense PillarFeatureNet
     input ON DEVICE (features (P, M, 10), mask (P, M)); centroids via
-    segment-sums over the pillar axis."""
+    segment-sums over the pillar axis. Decodes the compact transport
+    (fixed-point points, scalar validity count)."""
     x0, y0, _, _, _, _ = cfg.pc_range
     vx, vy, _ = cfg.voxel_size
     P, M = cfg.max_pillars, cfg.max_points_per_pillar
-    s = sparse["s_idx"]
-    r = sparse["r_idx"]
-    pts = sparse["pts"]
-    live = sparse["pt_valid"]
+    C = sparse["s_idx"].shape[0]
+    live = (
+        jnp.arange(C, dtype=jnp.int32) < sparse["n_pts"]
+    ).astype(jnp.float32)
+    s = sparse["s_idx"].astype(jnp.int32)
+    r = sparse["r_idx"].astype(jnp.int32)
+    pts = sparse["pts_q"].astype(jnp.float32) * PT_QUANT
     # dead padded entries all collide on slot (P-1, M-1) with weight 0
     s = jnp.where(live > 0, s, P - 1)
     r = jnp.where(live > 0, r, M - 1)
 
-    denom = jnp.maximum(sparse["n_per"], 1.0)
+    denom = jnp.maximum(sparse["n_per"].astype(jnp.float32), 1.0)
     cent = jnp.stack([
         jnp.zeros((P,)).at[s].add(pts[:, c] * live) / denom for c in range(3)
     ], axis=-1)                                                # (P, 3)
@@ -228,7 +243,8 @@ def build_pillars_device(sparse: dict, cfg: PointPillarsConfig):
     mask = jnp.zeros((P, M)).at[s, r].add(live)
     return {
         "features": feats, "mask": jnp.minimum(mask, 1.0),
-        "coords": coords, "pillar_mask": sparse["pillar_mask"],
+        "coords": coords.astype(jnp.int32),
+        "pillar_mask": (sparse["n_per"] > 0).astype(jnp.float32),
     }
 
 
@@ -434,15 +450,33 @@ class Detector3D:
 
         self._run = jax.jit(_run)
 
-    def make_prediction(self, velo_points: np.ndarray) -> np.ndarray:
-        """(N, 4) scan -> (K, 7) [x, y, z, w, l, h, yaw] car boxes."""
+    def dispatch(self, velo_points: np.ndarray):
+        """Async half of make_prediction: pillarize (host), upload the
+        compact sparse tensors, launch the jitted network, and start
+        streaming the outputs back (copy_to_host_async) WITHOUT waiting.
+        Lets the keyframe path overlap both detectors and the object GN
+        on relay-attached devices (the round trip is the cost, not the
+        compute). Returns a handle for collect()."""
         sp = pillarize_sparse(velo_points, self.cfg)
         out_boxes, scores, valid = self._run(
             self.params, {k: jnp.asarray(v) for k, v in sp.items()},
             self.anchors,
         )
-        out = np.asarray(out_boxes)[np.asarray(valid) > 0]
-        return out
+        for a in (out_boxes, valid):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        return out_boxes, valid
+
+    @staticmethod
+    def collect(handle) -> np.ndarray:
+        out_boxes, valid = handle
+        return np.asarray(out_boxes)[np.asarray(valid) > 0]
+
+    def make_prediction(self, velo_points: np.ndarray) -> np.ndarray:
+        """(N, 4) scan -> (K, 7) [x, y, z, w, l, h, yaw] car boxes."""
+        return self.collect(self.dispatch(velo_points))
 
 
 # ---------------------------------------------------------------------------

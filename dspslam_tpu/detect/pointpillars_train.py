@@ -1,0 +1,274 @@
+"""Synthetic closed-loop PointPillars training.
+
+No pretrained detector weights exist in this environment, so the
+architecture cannot be validated against KITTI. What CAN be proven is
+that the whole stack — pillarization, PFN, BEV backbone, anchor heads,
+delta decoding and rotated NMS — is wired correctly end-to-end: train
+briefly on generated scans with planted car-sized boxes and assert the
+detector recovers them (tests/test_detector_closed_loop.py). This closes
+as much of the no-weights gap as the environment allows, mirroring the
+semantics of the reference's detector3d.py:59-67 (boxes in, car
+detections out).
+
+Target assignment is the SSD-style scheme PointPillars uses, simplified
+to center-distance gating (full rotated-IoU assignment adds nothing for
+the wiring proof): anchors near a ground-truth center with the closer
+rotation are positive, far anchors negative, the band between ignored;
+each ground-truth box force-matches its nearest anchor.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .pointpillars import (
+    PointPillarsConfig,
+    _anchors,
+    build_pillars_device,
+    decode_boxes,
+    forward,
+    init_params,
+    pillarize_sparse,
+)
+
+
+def small_config() -> PointPillarsConfig:
+    """Reduced-scale config for CPU-runnable closed-loop tests (~16x
+    cheaper BEV backbone than the KITTI-scale default)."""
+    return PointPillarsConfig(
+        pc_range=(0.0, -15.36, -3.0, 30.72, 15.36, 1.0),
+        voxel_size=(0.32, 0.32, 4.0),
+        max_pillars=3000,
+        backbone_layers=(2, 2, 2),
+        backbone_channels=(32, 64, 128),
+        fpn_channels=(64, 64, 64),
+        nms_pre=64,
+        max_detections=10,
+        score_threshold=0.3,
+    )
+
+
+def encode_boxes(gt: np.ndarray, anchors: np.ndarray) -> np.ndarray:
+    """Inverse of decode_boxes (DeltaXYZWLHR)."""
+    diag = np.sqrt(anchors[:, 3] ** 2 + anchors[:, 4] ** 2)
+    out = np.zeros_like(gt)
+    out[:, 0] = (gt[:, 0] - anchors[:, 0]) / diag
+    out[:, 1] = (gt[:, 1] - anchors[:, 1]) / diag
+    out[:, 2] = (gt[:, 2] - anchors[:, 2]) / anchors[:, 5]
+    out[:, 3] = np.log(gt[:, 3] / anchors[:, 3])
+    out[:, 4] = np.log(gt[:, 4] / anchors[:, 4])
+    out[:, 5] = np.log(gt[:, 5] / anchors[:, 5])
+    out[:, 6] = gt[:, 6] - anchors[:, 6]
+    return out
+
+
+def assign_targets(
+    anchors: np.ndarray,
+    gt_boxes: np.ndarray,
+    pos_dist: float = 1.2,
+    neg_dist: float = 2.5,
+):
+    """(A, 7) anchors + (N, 7) gt -> cls (A,) in {1, 0, -1=ignore},
+    reg deltas (A, 7) for positives, dir class (A,)."""
+    A = len(anchors)
+    cls_t = np.zeros(A, np.float32)
+    reg_t = np.zeros((A, 7), np.float32)
+    dir_t = np.zeros(A, np.int32)
+    if len(gt_boxes) == 0:
+        return cls_t, reg_t, dir_t
+    d = np.linalg.norm(
+        anchors[:, None, :2] - gt_boxes[None, :, :2], axis=-1
+    )                                                   # (A, N)
+    # rotation compatibility: the anchor rotation nearer the gt yaw
+    dyaw = np.abs(
+        np.remainder(
+            anchors[:, None, 6] - gt_boxes[None, :, 6] + np.pi / 2, np.pi
+        ) - np.pi / 2
+    )
+    d_eff = d + 10.0 * (dyaw > np.pi / 4)               # wrong-rot penalty
+    best_gt = np.argmin(d_eff, axis=1)
+    best_d = d_eff[np.arange(A), best_gt]
+    cls_t[:] = -1.0
+    cls_t[best_d > neg_dist] = 0.0
+    pos = best_d < pos_dist
+    # force-match each gt to its nearest anchor
+    for g in range(len(gt_boxes)):
+        a = int(np.argmin(d_eff[:, g]))
+        pos[a] = True
+        best_gt[a] = g
+    cls_t[pos] = 1.0
+    idx = np.nonzero(pos)[0]
+    reg_t[idx] = encode_boxes(gt_boxes[best_gt[idx]], anchors[idx])
+    dir_t[idx] = (
+        np.cos(gt_boxes[best_gt[idx], 6] - anchors[idx, 6]) < 0.0
+    ).astype(np.int32)
+    return cls_t, reg_t, dir_t
+
+
+def _focal_loss(logits, labels, mask, alpha=0.25, gamma=2.0):
+    p = jax.nn.sigmoid(logits)
+    pt = jnp.where(labels > 0, p, 1.0 - p)
+    a = jnp.where(labels > 0, alpha, 1.0 - alpha)
+    ce = -jnp.log(jnp.clip(pt, 1e-6))
+    return jnp.sum(a * (1.0 - pt) ** gamma * ce * mask)
+
+
+def _smooth_l1(x, beta=1.0 / 9.0):
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
+
+
+def loss_fn(params, pillars, cls_t, reg_t, dir_t, cfg):
+    cls, deltas, dirs = forward(params, pillars, cfg)
+    valid = cls_t >= 0.0
+    n_pos = jnp.maximum(jnp.sum(cls_t > 0), 1.0)
+    l_cls = _focal_loss(cls, cls_t, valid.astype(jnp.float32)) / n_pos
+    pos = (cls_t > 0).astype(jnp.float32)[:, None]
+    l_reg = jnp.sum(_smooth_l1(deltas - reg_t) * pos) / n_pos
+    logp = jax.nn.log_softmax(dirs, axis=-1)
+    l_dir = -jnp.sum(
+        jnp.take_along_axis(logp, dir_t[:, None], axis=1)[:, 0]
+        * pos[:, 0]
+    ) / n_pos
+    return l_cls + 2.0 * l_reg + 0.2 * l_dir
+
+
+@partial(jax.jit, static_argnums=(4, 5), donate_argnums=(0, 1))
+def train_step(params, opt_state, pillars_sparse, targets, cfg, optimizer):
+    pillars = build_pillars_device(pillars_sparse, cfg)
+    cls_t, reg_t, dir_t = targets
+
+    loss, grads = jax.value_and_grad(loss_fn)(
+        params, pillars, cls_t, reg_t, dir_t, cfg
+    )
+    updates, opt_state = optimizer.update(grads, opt_state)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def make_box_scene(rng, cfg: PointPillarsConfig, n_boxes=3):
+    """Velodyne-frame scan with planted car-sized boxes: ground plane +
+    box shell surfaces + clutter. Returns (scan (V, 4), gt (N, 7))."""
+    x0, y0, _, x1, y1, _ = cfg.pc_range
+    gt = []
+    for _ in range(n_boxes):
+        for _attempt in range(20):
+            x = rng.uniform(x0 + 4.0, x1 - 4.0)
+            y = rng.uniform(y0 + 4.0, y1 - 4.0)
+            if all(np.hypot(x - g[0], y - g[1]) > 6.0 for g in gt):
+                break
+        yaw = rng.choice([0.0, np.pi / 2]) + rng.normal(0, 0.12)
+        w, l, h = cfg.anchor_size
+        gt.append([x, y, cfg.anchor_z, w, l, h, yaw])
+    gt = np.asarray(gt, np.float32)
+
+    parts = [np.stack([
+        rng.uniform(x0, x1, 4000), rng.uniform(y0, y1, 4000),
+        np.full(4000, -1.6) + rng.normal(0, 0.02, 4000),
+    ], -1)]
+    for b in gt:
+        x, y, z, w, l, h, yaw = b
+        n = 400
+        # shell: sample the 4 vertical faces
+        u = rng.uniform(-0.5, 0.5, n)
+        face = rng.integers(0, 4, n)
+        fx = np.where(face == 0, u * l, np.where(face == 1, u * l, u * 0 + 0.5 * l * np.sign(rng.normal(size=n))))
+        fy = np.where(face < 2, 0.5 * w * np.where(face == 0, 1, -1), u * w)
+        fz = rng.uniform(0.0, h, n)
+        c, s = np.cos(yaw), np.sin(yaw)
+        px = x + c * fx - s * fy
+        py = y + s * fx + c * fy
+        pz = z + fz
+        parts.append(np.stack([px, py, pz], -1))
+    parts.append(np.stack([
+        rng.uniform(x0, x1, 300), rng.uniform(y0, y1, 300),
+        rng.uniform(-1.5, 0.5, 300),
+    ], -1))
+    pts = np.concatenate(parts).astype(np.float32)
+    refl = rng.uniform(0, 1, (len(pts), 1)).astype(np.float32)
+    return np.concatenate([pts, refl], -1), gt
+
+
+def fit_synthetic(
+    cfg: PointPillarsConfig,
+    steps: int = 250,
+    seed: int = 0,
+    lr: float = 2e-3,
+    n_boxes=3,
+    n_scenes: int | None = None,
+):
+    """Train on generated scenes (fresh each step, or an `n_scenes`-sized
+    fixed set iterated in epochs); returns (params, tail losses).
+
+    Note on convergence: the inference-path network has its BatchNorm
+    folded away (load_mmdet3d_checkpoint), so from-scratch training here
+    is normalization-free and needs thousands of steps to GENERALIZE
+    across scenes — fine for offline use, too slow for CI. The CI-grade
+    wiring proof is `overfit_scene` + detect on the same scene."""
+    rng = np.random.default_rng(seed)
+    H = cfg.grid_size[1] // 2
+    W = cfg.grid_size[0] // 2
+    anchors = _anchors(cfg, (H, W))
+    optimizer = optax.adam(lr)
+    params = init_params(cfg, jax.random.PRNGKey(seed))
+    opt_state = optimizer.init(params)
+    scenes = []
+    if n_scenes:
+        for _ in range(n_scenes):
+            scan, gt = make_box_scene(rng, cfg, n_boxes=n_boxes)
+            sp = pillarize_sparse(scan, cfg, point_cap=16384)
+            scenes.append((
+                {k: jnp.asarray(v) for k, v in sp.items()},
+                tuple(jnp.asarray(t) for t in assign_targets(anchors, gt)),
+            ))
+    losses = []
+    for i in range(steps):
+        if scenes:
+            sp, targets = scenes[i % len(scenes)]
+        else:
+            scan, gt = make_box_scene(rng, cfg, n_boxes=n_boxes)
+            sp = {
+                k: jnp.asarray(v)
+                for k, v in pillarize_sparse(
+                    scan, cfg, point_cap=16384
+                ).items()
+            }
+            targets = tuple(
+                jnp.asarray(t) for t in assign_targets(anchors, gt)
+            )
+        params, opt_state, loss = train_step(
+            params, opt_state, sp, targets, cfg, optimizer
+        )
+        losses.append(loss)
+    return params, [float(np.asarray(l)) for l in losses[-5:]]
+
+
+def overfit_scene(cfg: PointPillarsConfig, steps: int = 320, seed: int = 0):
+    """Overfit ONE generated scene — the end-to-end wiring proof: if
+    assignment, encoding, the network, decoding and NMS are consistent,
+    a few hundred steps must drive the planted boxes' scores up and
+    make_prediction must recover them on that scene. Returns
+    (params, scan, gt_boxes)."""
+    rng = np.random.default_rng(seed)
+    H = cfg.grid_size[1] // 2
+    W = cfg.grid_size[0] // 2
+    anchors = _anchors(cfg, (H, W))
+    scan, gt = make_box_scene(rng, cfg, n_boxes=3)
+    sp = {
+        k: jnp.asarray(v)
+        for k, v in pillarize_sparse(scan, cfg, point_cap=16384).items()
+    }
+    targets = tuple(jnp.asarray(t) for t in assign_targets(anchors, gt))
+    optimizer = optax.adam(3e-3)
+    params = init_params(cfg, jax.random.PRNGKey(seed))
+    opt_state = optimizer.init(params)
+    for _ in range(steps):
+        params, opt_state, _ = train_step(
+            params, opt_state, sp, targets, cfg, optimizer
+        )
+    return params, scan, gt

@@ -1,0 +1,45 @@
+"""Synthetic closed-loop detector validation.
+
+No pretrained weights exist in this environment; this proves the
+PointPillars stack (pillarization -> PFN -> BEV backbone -> anchor heads
+-> delta decode -> rotated NMS) is wired consistently end-to-end: train
+on a generated scan with planted car-sized boxes until the network fits
+it, then assert make_prediction recovers exactly those boxes. Mirrors
+the semantics of the reference's detector3d.py:59-67.
+
+Scope note: the inference network is normalization-free (BatchNorm is
+folded on checkpoint load), so from-scratch training GENERALIZES only
+after thousands of steps — out of CI budget. The single-scene fit is the
+CI-grade wiring proof: a mis-assigned target map, a misaligned anchor
+grid, a broken delta codec or a wrong NMS would all leave the planted
+boxes undetected no matter how long training runs.
+"""
+
+import numpy as np
+import pytest
+
+from dspslam_tpu.detect import pointpillars_train as ppt
+from dspslam_tpu.detect.pointpillars import Detector3D
+
+
+@pytest.mark.slow
+def test_pointpillars_closed_loop_recovers_planted_boxes():
+    cfg = ppt.small_config()
+    params, scan, gt = ppt.overfit_scene(cfg, steps=320, seed=0)
+    det = Detector3D(params=params, cfg=cfg)
+    boxes = det.make_prediction(scan)
+    assert len(boxes) >= len(gt), f"{len(boxes)} detections for {len(gt)} gt"
+    hits = 0
+    for g in gt:
+        d = np.hypot(boxes[:, 0] - g[0], boxes[:, 1] - g[1]).min()
+        hits += d < 1.0
+    assert hits == len(gt), f"recovered {hits}/{len(gt)} planted boxes"
+    # no hallucinations far from any planted box
+    for b in boxes:
+        assert np.hypot(gt[:, 0] - b[0], gt[:, 1] - b[1]).min() < 2.5, (
+            f"spurious detection at {b[:2]}"
+        )
+    # size regression: learned extents near the planted car size
+    w_err = np.abs(boxes[:, 3] - cfg.anchor_size[0]).max()
+    l_err = np.abs(boxes[:, 4] - cfg.anchor_size[1]).max()
+    assert w_err < 0.6 and l_err < 1.0, (w_err, l_err)

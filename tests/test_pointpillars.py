@@ -207,8 +207,10 @@ class TestCheckpointIngestion:
 class TestSparsePillarize:
     def test_device_build_matches_dense_host(self):
         """pillarize_sparse + build_pillars_device must reproduce the
-        dense host pillarize tensors exactly (modulo per-pillar point
-        order, which both derive from the same stable sort)."""
+        dense host pillarize tensors (modulo per-pillar point order,
+        which both derive from the same stable sort, and the 2 mm
+        fixed-point transport quantization — offsets difference two
+        quantized values, so 4 mm worst case)."""
         import jax.numpy as jnp
 
         scan = car_scan()
@@ -228,15 +230,28 @@ class TestSparsePillarize:
         )
         np.testing.assert_allclose(
             np.asarray(built["features"]), dense["features"],
-            atol=1e-4,
+            atol=2.5 * pp.PT_QUANT,
         )
+
+    def test_compact_transport_is_small(self):
+        """The whole sparse upload stays under ~0.75 MB for a 60k-point
+        scan (the r2 naive-sparse layout was 1.6 MB; dense is 15 MB)."""
+        rng = np.random.default_rng(0)
+        scan = np.concatenate([
+            rng.uniform([0, -30, -2.5, 0], [45, 30, 0.5, 1], (60_000, 4))
+        ]).astype(np.float32)
+        sp = pp.pillarize_sparse(scan, CFG)
+        total = sum(
+            v.nbytes if hasattr(v, "nbytes") else 4 for v in sp.values()
+        )
+        assert total < 0.75 * 2**20, f"{total / 2**20:.2f} MB"
 
     def test_point_cap_truncates_safely(self):
         import jax.numpy as jnp
 
         scan = car_scan()
         sp = pp.pillarize_sparse(scan, CFG, point_cap=64)
-        assert sp["pts"].shape == (64, 4)
+        assert sp["pts_q"].shape == (64, 4)
         built = pp.build_pillars_device(
             {k: jnp.asarray(v) for k, v in sp.items()}, CFG
         )
