@@ -222,21 +222,31 @@ class DetectorChannel:
         self.rng = rng
         self.calls = 0
         self.detector_boxes = 0
+        self._pending = None
 
-    def __call__(self, idx):
-        idx = min(idx, len(self.traj) - 1)
-        # dispatch both networks first, then do the host-side work while
-        # they run and their outputs stream back (round trips dominate
-        # relay-attached latency, not compute)
-        h3 = self.det3d.dispatch(self.scans[idx]) if self.det3d else None
-        h2 = self.det2d.dispatch(self.dev_imgs[idx]) if self.det2d else None
-        dets = make_detections(self.traj[idx], self.spheres_w, self.rng)
+    def drain(self):
+        """Finalize the previous keyframe's detector outputs — their
+        compute and host transfer overlapped the frames in between (the
+        deferred-collect pattern of the rest of the keyframe path)."""
+        if self._pending is None:
+            return
+        h3, h2 = self._pending
+        self._pending = None
         if h3 is not None:
             self.detector_boxes += len(self.det3d.collect(h3))
         if h2 is not None:
-            self.detector_boxes += len(
-                self.det2d.collect(h2)["pred_boxes"]
-            )
+            self.detector_boxes += len(self.det2d.collect(h2)["pred_boxes"])
+
+    def __call__(self, idx):
+        idx = min(idx, len(self.traj) - 1)
+        self.drain()
+        # dispatch both networks, then do the host-side work while they
+        # run; outputs are collected at the NEXT keyframe (or drain()):
+        # round trips dominate relay-attached latency, not compute
+        h3 = self.det3d.dispatch(self.scans[idx]) if self.det3d else None
+        h2 = self.det2d.dispatch(self.dev_imgs[idx]) if self.det2d else None
+        dets = make_detections(self.traj[idx], self.spheres_w, self.rng)
+        self._pending = (h3, h2)
         self.calls += 1
         return dets
 
@@ -389,6 +399,8 @@ def main(argv=None):
         times.append(time.perf_counter() - t0)
         pair = next_pair
     system.flush()
+    if channel is not None:
+        channel.drain()
 
     steady = np.asarray(times[args.warmup:])
     fps_median = 1.0 / np.median(steady)

@@ -213,22 +213,33 @@ def fit_spheres(
     """
     optimizer = make_optimizer(lr)
     state = init_state(config, num_shapes, jax.random.PRNGKey(seed), optimizer)
-    # one fused jitted program per step (data generation INSIDE the jit:
-    # on relay-attached devices the eager per-op dataset dispatches cost
-    # ~6 round trips/step — measured 330 ms/step vs device compute of a
-    # few ms); keys precomputed on host so the loop is pure async
-    # dispatch. clamp 0.5 covers the whole sphere interior — the
+    # whole chunks of steps run as ONE fused lax.scan program (data
+    # generation inside the jit): per-step dispatch round trips dominate
+    # on relay-attached devices — measured 330 ms/step eager and ~640
+    # ms/step even with one jitted dispatch per step (the relay
+    # serializes donated-buffer dispatches), vs a few ms of device
+    # compute. clamp 0.5 covers the whole sphere interior — the
     # full-range L1 keeps gradients alive from cold init (train_step).
+    CHUNK = 100
 
     @partial(jax.jit, static_argnums=(2, 3, 4, 5), donate_argnums=(0,))
-    def fit_step(st, key, config, optimizer, num_shapes, batch):
-        data = make_sphere_dataset(key, num_shapes, batch)
-        return train_step(st, data, config, optimizer, 0.5)
+    def fit_chunk(st, keys, config, optimizer, num_shapes, batch):
+        def body(s, key):
+            data = make_sphere_dataset(key, num_shapes, batch)
+            return train_step(s, data, config, optimizer, 0.5)
 
-    keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed + 1), steps))
+        return jax.lax.scan(body, st, keys)
+
+    key = jax.random.PRNGKey(seed + 1)
     loss = None
-    for i in range(steps):
-        state, loss = fit_step(
-            state, jnp.asarray(keys[i]), config, optimizer, num_shapes, batch
+    done = 0
+    while done < steps:
+        n = min(CHUNK, steps - done)
+        key, sub = jax.random.split(key)
+        state, losses = fit_chunk(
+            state, jax.random.split(sub, n), config, optimizer,
+            num_shapes, batch,
         )
+        loss = losses[-1]
+        done += n
     return state.params, state.codes, float(np.asarray(loss))

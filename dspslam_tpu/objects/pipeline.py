@@ -60,12 +60,24 @@ class ObjectPipeline:
         # meters/FRAME over the actual keyframe gap (Tracking_util.cc:107,
         # LocalMapping_util.cc:119-121)
         self.last_kf_frame_id: int | None = None
+        # deferred mesh extractions: (obj, device sdf-grid handle)
+        self._pending_meshes: list = []
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf, local_kf_ids: list[int]):
         """Run association + measurement GN + new-object reconstruction."""
         pending = self.dispatch_keyframe(kf, local_kf_ids)
         self.apply_keyframe(kf, pending)
+
+    def collect_meshes(self):
+        """Finalize deferred mesh extractions (called at the next
+        keyframe and at flush; see _apply_recon)."""
+        pending, self._pending_meshes = self._pending_meshes, []
+        for obj, handle in pending:
+            if obj.bad:
+                continue
+            m = self.mesher.collect(handle)
+            obj.vertices, obj.faces = m["vertices"], m["faces"]
 
     def dispatch_keyframe(self, kf, local_kf_ids: list[int]):
         """Associate detections (host) and DISPATCH both GN device
@@ -231,8 +243,13 @@ class ObjectPipeline:
             self.map.add_object(obj)
             self._tag_member_points(kf, det_idx, obj)
             if self.extract_meshes:
-                m = self.mesher.extract_mesh_from_code(obj.code)
-                obj.vertices, obj.faces = m["vertices"], m["faces"]
+                # dispatch the voxel decode now; marching tetrahedra +
+                # the grid fetch happen at the NEXT keyframe (or flush)
+                # — nothing in the SLAM loop consumes the vertices, so
+                # the mesh cost moves off the keyframe's critical path
+                self._pending_meshes.append(
+                    (obj, self.mesher.dispatch(obj.code))
+                )
 
     @staticmethod
     def _se3_of(T_sim3):

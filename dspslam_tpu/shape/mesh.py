@@ -226,7 +226,11 @@ class MeshExtractor:
         self.voxels_dim = voxels_dim
         self.mesh = mesh
 
-    def extract_mesh_from_code(self, code):
+    def dispatch(self, code):
+        """Async half: launch the voxel-grid SDF decode and start
+        streaming it back; marching tetrahedra (host) runs at collect().
+        Lets callers move mesh extraction off latency-critical paths —
+        nothing in the SLAM loop consumes the vertices."""
         code = jnp.asarray(code)[: self.code_len]
         if self.mesh is not None:
             sdf = decode_sdf_grid_sharded(
@@ -237,5 +241,16 @@ class MeshExtractor:
             sdf = decode_sdf_grid(
                 self.decoder_fn, self.decoder_params, code, self.voxels_dim
             )
-        vertices, faces = marching_tetrahedra(np.asarray(sdf), 0.0)
+        try:
+            sdf.copy_to_host_async()
+        except Exception:
+            pass
+        return sdf
+
+    @staticmethod
+    def collect(sdf_handle):
+        vertices, faces = marching_tetrahedra(np.asarray(sdf_handle), 0.0)
         return {"vertices": vertices, "faces": faces}
+
+    def extract_mesh_from_code(self, code):
+        return self.collect(self.dispatch(code))

@@ -96,6 +96,12 @@ class LocalMapper:
         keyframe stalls on relay-attached chips).
         """
         self.flush()                 # drain anything from the previous KF
+        if self.object_pipeline is not None:
+            # meshes dispatched at the previous keyframe finalize here
+            # (their decode + host transfer overlapped the frames since)
+            collect = getattr(self.object_pipeline, "collect_meshes", None)
+            if collect is not None:
+                collect()
         self.map.update_covisibility(kf)
         self._cull_points(kf)
         obj_pending = None
@@ -195,6 +201,10 @@ class LocalMapper:
             if not kf.bad:
                 self._pending_ba = self.dispatch_bundle_adjust(kf)
         self.apply_pending_ba()
+        if self.object_pipeline is not None:
+            collect = getattr(self.object_pipeline, "collect_meshes", None)
+            if collect is not None:
+                collect()
 
     # ------------------------------------------------------------------
     def _cull_points(self, kf: KeyFrame):
