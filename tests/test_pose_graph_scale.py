@@ -83,12 +83,15 @@ def test_essential_graph_1000_keyframes_no_rigid_drag():
     # the revisit: final keyframe meets kfs[4]; fabricate the Sim(3)
     # correction the solver would produce (snap the current keyframe to
     # truth) for the last few keyframes, as _correct_loop would
+    # KeyFrame ids are globally monotonic across tests — map truth by
+    # object, never by raw id
+    truth_of = {kf.id: truth[i] for i, kf in enumerate(kfs)}
     cur, loop = kfs[-1], kfs[4]
     corrections = {}
     for kf in kfs[-3:]:
         before = kf.T_cw.copy()
         after = before.copy()
-        after[0, 3] = -truth[kf.id]           # drift removed
+        after[0, 3] = -truth_of[kf.id]        # drift removed
         kf.T_cw = after
         corrections[kf.id] = (before, after)
     cur.loop_edges.add(loop.id)
