@@ -276,6 +276,11 @@ def main(argv=None):
                    help="camera geometry + pacing target: redwood = "
                    "640x480 @ 15 fps, freiburg = 960x540 @ 25 fps "
                    "(reference redwood_01053.yaml / freiburg_001.yaml)")
+    p.add_argument("--paced", action="store_true",
+                   help="real-time pacing: frames arrive at the camera "
+                   "rate and stale frames are DROPPED (the reference "
+                   "main loop's behaviour, dsp_slam_mono.cc:80-95); "
+                   "reports drop rate instead of raw throughput")
     p.add_argument("--workload", choices=("full", "legacy"), default="full",
                    help="full = detectors + real DeepSDF MLP inside the "
                    "measured loop (the honest headline); legacy = round-2 "
@@ -492,32 +497,64 @@ def main_mono(args):
     def upload(k):
         return jax.device_put(host_imgs[k])
 
-    img = upload(0)
-    for k in range(args.frames):
-        nxt = upload(k + 1) if k + 1 < args.frames else None
-        t0 = time.perf_counter()
-        system.track_mono(img, k * 0.1)
-        times.append(time.perf_counter() - t0)
-        img = nxt
-    system.flush()
-
-    steady = np.asarray(times[args.warmup:])
-    fps = 1.0 / np.median(steady)
     pace = prof["fps"]
+    dropped = 0
+    if args.paced:
+        # real-time camera pacing with stale-frame dropping: frame k
+        # arrives at k/pace; if tracking is still busy past the NEXT
+        # arrival, that frame is skipped (reference main-loop pacing)
+        period = 1.0 / pace
+        # absorb compile time before the clock starts
+        system.track_mono(upload(0), 0.0)
+        t_origin = time.perf_counter()
+        for k in range(1, args.frames):
+            t_arrive = k * period
+            now = time.perf_counter() - t_origin
+            if now > t_arrive + period:
+                dropped += 1
+                continue
+            if now < t_arrive:
+                time.sleep(t_arrive - now)
+            t0 = time.perf_counter()
+            system.track_mono(upload(k), k * period)
+            times.append(time.perf_counter() - t0)
+        system.flush()
+    else:
+        img = upload(0)
+        for k in range(args.frames):
+            nxt = upload(k + 1) if k + 1 < args.frames else None
+            t0 = time.perf_counter()
+            system.track_mono(img, k * 0.1)
+            times.append(time.perf_counter() - t0)
+            img = nxt
+        system.flush()
+
+    steady = np.asarray(
+        times[args.warmup:] if len(times) > args.warmup else times
+    )
+    fps = float(1.0 / np.median(steady)) if len(steady) else 0.0
     print(
         f"state={system.state.name} kfs={len(system.map.keyframes)} "
         f"pts={len(system.map.points)}"
     )
+    drop_note = (
+        f", dropped {dropped}/{args.frames - 1} under {pace:.0f} fps pacing"
+        if args.paced else ""
+    )
     print(
         f"median frame {np.median(steady) * 1e3:.1f} ms, mean "
         f"{steady.mean() * 1e3:.1f} ms -> {fps:.1f} fps "
-        f"({args.mono_profile} {mw}x{mh}, pacing target {pace:.0f})"
+        f"({args.mono_profile} {mw}x{mh}, pacing target {pace:.0f}"
+        f"{drop_note})"
     )
-    print(json.dumps({
+    out = {
         "metric": f"mono_slam_fps_{args.mono_profile}",
         "value": round(float(fps), 2),
         "unit": "fps", "vs_baseline": round(float(fps) / pace, 3),
-    }))
+    }
+    if args.paced:
+        out["drop_rate"] = round(dropped / max(args.frames - 1, 1), 3)
+    print(json.dumps(out))
     return fps
 
 

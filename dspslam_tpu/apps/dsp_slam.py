@@ -107,6 +107,16 @@ def main(argv=None):
         help="one-frame-lag pipelined tracking (higher throughput; "
         "overlays are emitted when each frame finalizes, one frame late)",
     )
+    p.add_argument(
+        "--live_view_dir",
+        help="live in-run viewer: refreshes map.png/frame.png/index.html "
+        "here during tracking (the headless Viewer-thread equivalent)",
+    )
+    p.add_argument(
+        "--live_view_port", type=int, default=None,
+        help="also serve --live_view_dir over HTTP (auto-refreshing page)",
+    )
+    p.add_argument("--live_view_every", type=int, default=5)
     args = p.parse_args(argv)
 
     system_cfg = (
@@ -149,6 +159,15 @@ def main(argv=None):
     # FrameDrawer.cc:30-80)
     overlay_pending: dict = {}
 
+    live = None
+    if args.live_view_dir:
+        from ..viz.live_viewer import LiveViewer
+
+        live = LiveViewer(
+            system, args.live_view_dir, every=args.live_view_every,
+            serve_port=args.live_view_port,
+        )
+
     def write_overlay(frame):
         if frame is None:
             return
@@ -170,18 +189,28 @@ def main(argv=None):
             os.path.join(args.overlay_dir, f"{fid:06d}.png")
         )
 
+    recent_imgs: dict = {}
     for frame_id in range(n):
         img_l, img_r = seq.load_stereo_gray(frame_id)
         if args.overlay_dir:
             overlay_pending[round(float(seq.timestamp(frame_id)), 6)] = (
                 frame_id, img_l,
             )
+        if live is not None:
+            recent_imgs[round(float(seq.timestamp(frame_id)), 6)] = img_l
+            while len(recent_imgs) > 3:
+                recent_imgs.pop(next(iter(recent_imgs)))
         with timer.stage("track"):
             frame = system.track_stereo(img_l, img_r, seq.timestamp(frame_id))
         if args.overlay_dir:
             write_overlay(frame)
             while len(overlay_pending) > 8:     # dropped/lost frames
                 overlay_pending.pop(next(iter(overlay_pending)))
+        if live is not None:
+            img_of_frame = None if frame is None else recent_imgs.get(
+                round(float(frame.timestamp), 6)
+            )
+            live.tick(frame_id, frame=frame, img=img_of_frame)
         if args.save_frames_dir and frame_id % args.save_frames_every == 0:
             system.save_map_current_frame(args.save_frames_dir, frame_id)
         if frame_id % 20 == 0:
@@ -194,6 +223,10 @@ def main(argv=None):
     last = system.flush()
     if args.overlay_dir:
         write_overlay(last)
+    if live is not None:
+        live._last_render = 0.0          # force a final refresh
+        live.tick(0, frame=None, img=None)
+        live.close()
     if args.profile_dir:
         import jax
 

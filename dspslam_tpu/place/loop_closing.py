@@ -47,6 +47,9 @@ PG_KF_CAP = 2048
 PG_DENSE_MAX = 256
 PG_EDGE_CAP = 4096
 OBJ_FUSE_DIST = 2.0
+# loop-detection score gates (see LoopCloser._detect for derivation)
+MIN_SCORE_NO_COVIS = 0.3
+MIN_SCORE_FLOOR = 0.05
 
 
 def _inv_sim3_np(S: np.ndarray) -> np.ndarray:
@@ -119,6 +122,20 @@ class LoopCloser:
             self._consistent = {}
             return None
         neighbors = set(kf.covis) | {kf.id}
+        # the reference's gate: candidates must score at least the WORST
+        # covisible neighbour (LoopClosing.cc:141-159 minScore) — a
+        # same-place match should look at least as similar as a
+        # physically adjacent view. Two guards replace reference
+        # behaviour that our init order can't reproduce:
+        #  * no covisible BoW yet (first KFs) -> MIN_SCORE_NO_COVIS,
+        #    deliberately high: with nothing to calibrate against,
+        #    detection should effectively wait;
+        #  * degenerate covisible minimum (a neighbour sharing almost no
+        #    words scores ~0, which would accept everything) ->
+        #    MIN_SCORE_FLOOR. Calibrated against the 300-KF
+        #    self-similar-street precision test (test_vocab_scale.py):
+        #    distinct-place scores there stay below it while true
+        #    revisits score an order of magnitude above.
         min_score = min(
             (
                 Vocabulary.score(bow, self.map.keyframes[n].bow)
@@ -126,9 +143,11 @@ class LoopCloser:
                 if n in self.map.keyframes
                 and self.map.keyframes[n].bow is not None
             ),
-            default=0.3,
+            default=MIN_SCORE_NO_COVIS,
         )
-        cands = self.db.query(bow, max(min_score, 0.05), exclude=neighbors)
+        cands = self.db.query(
+            bow, max(min_score, MIN_SCORE_FLOOR), exclude=neighbors
+        )
         new_consistent = {}
         chosen = None
         for cand_id, _score in cands[:10]:

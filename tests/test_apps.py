@@ -320,6 +320,37 @@ def test_pipelined_run_writes_overlays(kitti_dir, tmp_path):
     assert img.ndim == 3 and img.shape[2] == 3
 
 
+def test_live_viewer_serves_during_run(kitti_dir, tmp_path):
+    """--live_view_dir: the headless Viewer-thread equivalent refreshes
+    map.png / frame.png / index.html during the run and serves them over
+    HTTP (reference Viewer.cc:59-176 parity for display-less hosts)."""
+    import urllib.request
+
+    from dspslam_tpu.apps import dsp_slam
+
+    view_dir = tmp_path / "live"
+    port = 18731
+    dsp_slam.main([
+        "--sequence_dir", str(kitti_dir),
+        "--settings", str(kitti_dir / "settings.yaml"),
+        "--config", str(kitti_dir / "config.json"),
+        "--map_dir", str(tmp_path / "map"),
+        "--no_objects",
+        "--live_view_dir", str(view_dir),
+        "--live_view_port", str(port),
+        "--live_view_every", "2",
+    ])
+    assert (view_dir / "map.png").exists()
+    assert (view_dir / "frame.png").exists()
+    html = (view_dir / "index.html").read_text()
+    assert "frame.png" in html and "map.png" in html
+    # the server thread is shut down at exit; artifacts remain readable
+    from PIL import Image
+
+    img = np.asarray(Image.open(view_dir / "frame.png"))
+    assert img.ndim == 3
+
+
 def test_save_frames_dir_feeds_follow_viewer(kitti_dir, tmp_path):
     """dsp_slam --save_frames_dir writes per-frame dumps that the follow
     viewer can animate (the reference's SaveMapCurrentFrame loop)."""
