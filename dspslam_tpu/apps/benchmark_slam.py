@@ -384,6 +384,7 @@ def main(argv=None):
             fx=FX, fy=FY, cx=CX, cy=CY, bf=BF,
             async_ba=not args.sync_ba,
             async_keyframe=args.async_kf,
+            async_objects=args.async_kf,
         ),
     )
 

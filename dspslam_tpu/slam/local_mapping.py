@@ -64,6 +64,13 @@ class LocalMapperConfig:
     # typical-frame throughput. Auto-disabled when the object pipeline
     # votes with map points (mono: association needs fresh points).
     async_keyframe: bool = False
+    # Defer the object-stage APPLY (the fetch of the measure/recon GN
+    # programs, ~60+ ms of device compute for an 8-object batch) to the
+    # next frame's poll(). The T_co measurements are camera-frame and
+    # keyframes are >= several frames apart, so a one-frame-late apply
+    # is semantically the reference's mapping-thread lag. Only takes
+    # effect with async_keyframe (the spread-the-keyframe mode).
+    async_objects: bool = False
 
 
 class LocalMapper:
@@ -75,6 +82,7 @@ class LocalMapper:
         self.recent_points: list[tuple[int, int]] = []  # (point_id, birth_kf)
         self._pending_ba = None
         self._pending_tri = None
+        self._pending_obj = None      # (kf, obj_pending) awaiting apply
         self._ba_kf = None            # KF whose BA dispatch awaits tri apply
         self._skip_polls = 0          # freshness: let dispatched work overlap
 
@@ -134,7 +142,12 @@ class LocalMapper:
 
                 _prefetch_to_host(tri_sync["out"])
         if self.object_pipeline is not None:
-            self.object_pipeline.apply_keyframe(kf, obj_pending)
+            if defer and self.cfg.async_objects:
+                # fetch the measure/recon GN results at the next poll —
+                # their compute overlaps the frames in between
+                self._pending_obj = (kf, obj_pending)
+            else:
+                self.object_pipeline.apply_keyframe(kf, obj_pending)
         if tri_sync is not None:
             self._apply_triangulate(tri_sync)
         if defer:
@@ -160,6 +173,10 @@ class LocalMapper:
         dispatched program gets one frame of overlap before its fetch."""
         if self._skip_polls > 0:
             self._skip_polls -= 1
+            return
+        if self._pending_obj is not None:
+            (kf, obj_pending), self._pending_obj = self._pending_obj, None
+            self.object_pipeline.apply_keyframe(kf, obj_pending)
             return
         if self._pending_tri is not None:
             pending, self._pending_tri = self._pending_tri, None
@@ -189,10 +206,18 @@ class LocalMapper:
         self._pending_ba = None
         self._pending_tri = None
         self._ba_kf = None
+        if self._pending_obj is not None:
+            # object measurements are CAMERA-frame (pose-independent):
+            # still valid after the correction — apply, don't drop
+            (kf, obj_pending), self._pending_obj = self._pending_obj, None
+            self.object_pipeline.apply_keyframe(kf, obj_pending)
 
     def flush(self):
         """Drain all deferred keyframe stages in order."""
         self._skip_polls = 0
+        if self._pending_obj is not None:
+            (kf, obj_pending), self._pending_obj = self._pending_obj, None
+            self.object_pipeline.apply_keyframe(kf, obj_pending)
         if self._pending_tri is not None:
             pending, self._pending_tri = self._pending_tri, None
             self._apply_triangulate(pending)
