@@ -26,6 +26,13 @@ from ..slam.map import Map, MapObject
 from . import association
 from .detections import Detection, pad_detections
 
+
+def _bucket(n: int, cap: int) -> int:
+    b = 1
+    while b < min(n, cap):
+        b *= 2
+    return min(b, cap)
+
 MIN_PTS_RECON = 50
 CULL_MIN_OBS = 2          # objects seen fewer times within window get culled
 CULL_WINDOW_KFS = 10
@@ -135,9 +142,12 @@ class ObjectPipeline:
         ]
         if not entries:
             return None
-        B = self.caps[0]
         P = self.caps[1]
-        entries = entries[:B]
+        entries = entries[: self.caps[0]]
+        # pad to the smallest power-of-2 bucket, not the full cap: the
+        # batched program's cost is linear in B and typical keyframes
+        # carry 1-2 detections (the jit caches one program per bucket)
+        B = _bucket(len(entries), self.caps[0])
         t_init = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
         scales = np.ones(B, np.float32)
         pts = np.zeros((B, P, 3), np.float32)
@@ -207,6 +217,7 @@ class ObjectPipeline:
         if not dets:
             return None
         B, P, R = self.caps
+        B = _bucket(len(dets), B)          # see _dispatch_measure
         batch = pad_detections(dets, B, P, R)
         out = self.batched_recon(
             self.decoder_params,
@@ -225,7 +236,7 @@ class ObjectPipeline:
         if pending is None:
             return
         det_map, out = pending
-        B = self.caps[0]
+        B = int(np.asarray(out["t_cam_obj"]).shape[0])
         t_cam_obj = np.asarray(out["t_cam_obj"])
         codes = np.asarray(out["code"])
         good = np.asarray(out["is_good"])
