@@ -58,6 +58,12 @@ class ORBParams:
     cell_size: int = 16          # top-k bin size in pixels
     per_cell: int = 4            # candidates kept per cell
     seed: int = 1234             # BRIEF pattern seed
+    # FAST detector backend: "auto" picks the Pallas kernel on TPU for
+    # level shapes in its measured win regime (tools/bench_pallas.py on
+    # v5e-lite: 1.93x at 480x640, ~tie at 376x1241, loses at 540x960 —
+    # crossover ~0.5 Mpix), "xla"/"pallas" force one path. On CPU,
+    # "pallas" runs in interpret mode (tests).
+    fast_backend: str = "auto"
 
     def features_per_level(self) -> list[int]:
         """Geometric budget per level (ORBextractor.cc:436-447)."""
@@ -257,6 +263,23 @@ def brief_descriptors(
 # Full extraction
 
 
+# Pallas FAST win regime: measured faster below ~0.5 Mpix on-chip
+# (tools/bench_pallas.py; the XLA rolled-copies path amortizes better at
+# the largest level-0 frames). Decided at trace time per pyramid level.
+_PALLAS_FAST_MAX_PIX = 480_000
+
+
+def _pallas_fast(backend: str, pixels: int) -> bool:
+    if backend == "pallas":
+        return True
+    if backend == "xla":
+        return False
+    return (
+        jax.default_backend() not in ("cpu", "gpu")
+        and pixels <= _PALLAS_FAST_MAX_PIX
+    )
+
+
 @partial(jax.jit, static_argnums=(1,))
 def extract_batch(imgs: jnp.ndarray, params: ORBParams = ORBParams()):
     """Batched extraction over (B, H, W) images — e.g. a stereo pair runs
@@ -296,10 +319,19 @@ def extract(img: jnp.ndarray, params: ORBParams = ORBParams()):
         # by a constant reproduces the reference's preference for strong
         # corners with low-threshold fallback in sparse cells
         # (ORBextractor.cc:766-835) at half the detection cost.
-        score = fast_score_map(level_img, params.min_threshold)
-        score = jnp.where(
-            score > params.fast_threshold, score + 1e4, score
-        )
+        h, w = level_img.shape
+        if _pallas_fast(params.fast_backend, h * w):
+            from ..ops.pallas import fast_kernel
+
+            score = fast_kernel.two_tier_score_fn(
+                params.min_threshold, params.fast_threshold, 1e4,
+                interpret=jax.default_backend() == "cpu",
+            )(level_img)
+        else:
+            score = fast_score_map(level_img, params.min_threshold)
+            score = jnp.where(
+                score > params.fast_threshold, score + 1e4, score
+            )
         xy, resp, valid = select_keypoints(
             score, budgets[level], params.cell_size, params.per_cell
         )

@@ -113,16 +113,21 @@ def make_decoder_fn(config: DecoderConfig):
     """Close over config -> decoder_fn(params, inputs). The shape/GN stack
     is generic over this signature so tests can substitute analytic SDFs.
 
-    Note: ops.pallas.decoder_kernel.fused_sdf_and_input_grad is a faster
-    standalone forward+gradient primitive for the canonical architecture
-    (~1.4x vs the vmap(value_and_grad) path at 10k points on v5e), but it
-    must be called UNBATCHED — vmapping a pallas_call over objects
-    miscompiles here, so the GN stack keeps the generic path.
+    For the canonical architecture on TPU, `sdf_and_input_grad` reroutes
+    to the fused Pallas forward+input-grad kernel
+    (ops.pallas.decoder_kernel) in its measured win regime (<= ~4k
+    points, ~1.4x on v5e); the `fused_kernel_ok` attribute marks
+    eligibility. Batched GN calls stay safe: a custom_vmap rule flattens
+    the object batch into one kernel launch (vmapping a pallas_call
+    directly miscompiles on TPU).
     """
 
     def decoder_fn(params, inputs):
         return apply(params, inputs, config)
 
+    from ..ops.pallas import decoder_kernel
+
+    decoder_fn.fused_kernel_ok = decoder_kernel.supports(config)
     return decoder_fn
 
 
@@ -131,8 +136,17 @@ def sdf_and_input_grad(decoder_fn, params, inputs: jnp.ndarray):
 
     inputs: (N, D) -> (sdf (N,), grad (N, D)). One reverse-mode pass per
     point, batched by vmap (the whole batch shares a single compiled
-    forward+backward — contrast loss_utils.py:82-103).
+    forward+backward — contrast loss_utils.py:82-103). Canonical
+    decoders on TPU dispatch to the fused Pallas kernel (see
+    make_decoder_fn).
     """
+    if getattr(decoder_fn, "fused_kernel_ok", False) and jax.default_backend() not in (
+        "cpu",
+        "gpu",
+    ):
+        from ..ops.pallas import decoder_kernel
+
+        return decoder_kernel.dispatch_fused(params, inputs)
 
     def single(inp):
         return decoder_fn(params, inp[None, :])[0]

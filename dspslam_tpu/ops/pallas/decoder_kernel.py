@@ -45,7 +45,62 @@ def supports(config: deepsdf.DecoderConfig) -> bool:
         and tuple(config.latent_in) == (4,)
         and not config.use_tanh
         and config.final_tanh
+        and config.compute_dtype == jnp.float32
     )
+
+
+# Measured crossover (tools/bench_pallas.py, v5e-lite): the fused kernel
+# wins ~1.4x up to ~2k points (GN surface-term sizes: 8 objects x 256
+# points flatten to 2048) and loses to XLA's pipelined matmuls at 8k+
+# (render-term grad batches, mesh grids). Dispatch by total point count.
+FUSED_MAX_POINTS = 4096
+
+
+def _generic(params, inputs):
+    """Reference autodiff path for the canonical architecture."""
+    cfg = deepsdf.DecoderConfig()
+
+    def single(inp):
+        return deepsdf.apply(params, inp[None, :], cfg)[0]
+
+    return jax.vmap(jax.value_and_grad(single))(inputs)
+
+
+@jax.custom_batching.custom_vmap
+def dispatch_fused(params, inputs):
+    """sdf_and_input_grad for the canonical architecture, vmap-safe.
+
+    Unbatched (N, 67) calls pick pallas-vs-XLA by N; under jax.vmap the
+    custom rule flattens (B, N, 67) -> (B*N, 67) into ONE kernel launch
+    (vmapping the pallas_call itself miscompiles on TPU) and falls back
+    to the autodiff path above FUSED_MAX_POINTS or when the weights are
+    themselves batched.
+    """
+    if inputs.shape[0] <= FUSED_MAX_POINTS:
+        return fused_sdf_and_input_grad(
+            params, inputs, jax.default_backend() == "cpu"
+        )
+    return _generic(params, inputs)
+
+
+@dispatch_fused.def_vmap
+def _dispatch_rule(axis_size, in_batched, params, inputs):
+    del axis_size
+    params_b, inputs_b = in_batched
+    params_batched = any(jax.tree.leaves(params_b))
+    if not inputs_b:
+        # only the weights are batched: no flattening trick applies
+        out = jax.vmap(_generic, in_axes=(0, None))(params, inputs)
+        return out, (True, True)
+    B, N, D = inputs.shape
+    if not params_batched and B * N <= FUSED_MAX_POINTS:
+        sdf, grad = fused_sdf_and_input_grad(
+            params, inputs.reshape(B * N, D), jax.default_backend() == "cpu"
+        )
+        return (sdf.reshape(B, N), grad.reshape(B, N, D)), (True, True)
+    p_axes = jax.tree.map(lambda b: 0 if b else None, params_b)
+    out = jax.vmap(_generic, in_axes=(p_axes, 0))(params, inputs)
+    return out, (True, True)
 
 
 def _kernel(

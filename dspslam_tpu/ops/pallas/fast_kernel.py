@@ -90,6 +90,49 @@ def _kernel(img_hbm, out_ref, scratch, sem, *, w: int, t_lo: float,
     out_ref[:] = score
 
 
+def fast_score_map_batched(
+    imgs: jnp.ndarray, t_lo: float = 7.0, t_hi: float = 20.0,
+    boost: float = 1e4, interpret: bool = False,
+):
+    """(B, H, W) images -> (B, H, W) two-tier scores in ONE kernel launch.
+
+    Batching flattens images along rows: each image is padded to a
+    multiple of ROWS first, so no 48-row output block straddles two
+    images. The DMA halo of a boundary block can still read <= HALO rows
+    of the neighbouring image, which only affects scores within 3 px of
+    an image's top/bottom edge — a band the extractor's EDGE_MARGIN
+    border mask discards anyway (frontend.orb.select_keypoints).
+    """
+    B, H, W = imgs.shape
+    hp = H + (-H) % ROWS
+    x = jnp.pad(imgs, ((0, 0), (0, hp - H), (0, 0)))
+    flat = x.reshape(B * hp, W)
+    out = fast_score_map_pallas(flat, t_lo, t_hi, boost, interpret)
+    return out.reshape(B, hp, W)[:, :H, :]
+
+
+def two_tier_score_fn(
+    t_lo: float, t_hi: float, boost: float = 1e4, interpret: bool = False
+):
+    """img -> two-tier score, safe to use under jax.vmap.
+
+    vmapping a pallas_call directly miscompiles on TPU; the custom_vmap
+    rule reroutes batched calls through fast_score_map_batched's
+    row-flattened single launch instead.
+    """
+
+    @jax.custom_batching.custom_vmap
+    def score(img):
+        return fast_score_map_pallas(img, t_lo, t_hi, boost, interpret)
+
+    @score.def_vmap
+    def _rule(axis_size, in_batched, imgs):
+        del axis_size, in_batched
+        return fast_score_map_batched(imgs, t_lo, t_hi, boost, interpret), True
+
+    return score
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def fast_score_map_pallas(
     img: jnp.ndarray, t_lo: float = 7.0, t_hi: float = 20.0,
@@ -112,7 +155,7 @@ def fast_score_map_pallas(
     out = pl.pallas_call(
         partial(_kernel, w=wp, t_lo=t_lo, t_hi=t_hi, boost=boost),
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (ROWS, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
