@@ -64,6 +64,13 @@ class ORBParams:
     # crossover ~0.5 Mpix), "xla"/"pallas" force one path. On CPU,
     # "pallas" runs in interpret mode (tests).
     fast_backend: str = "auto"
+    # per-feature sampling strategies (identical outputs for valid
+    # keypoints; A/B-measured on-chip via tools/profile_extract.py):
+    # orientation "patch" gathers 31x31 patches, "conv" computes dense
+    # moment maps on the MXU; BRIEF "global" does one full-image gather,
+    # "patch" samples inside contiguous 39x39 slices.
+    orient_mode: str = "patch"
+    brief_mode: str = "global"
 
     def features_per_level(self) -> list[int]:
         """Geometric budget per level (ORBextractor.cc:436-447)."""
@@ -214,6 +221,28 @@ def orientations(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     return jnp.arctan2(m01, m10)                             # (K,) radians
 
 
+def orientations_conv(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid angles via dense moment maps.
+
+    One 2-channel 31x31 cross-correlation computes m10/m01 for EVERY
+    pixel on the MXU, then each keypoint reads back two scalars —
+    replacing the K x 961 patch gathers of `orientations`. Identical
+    angles for keypoints >= HALF_PATCH from the border (all valid ones,
+    EDGE_MARGIN=19): interior patches neither clamp nor see the conv's
+    zero padding.
+    """
+    k = jnp.stack(
+        [jnp.asarray(_U_WEIGHTS, img.dtype), jnp.asarray(_V_WEIGHTS, img.dtype)]
+    )                                                        # (2, 31, 31)
+    maps = jax.lax.conv_general_dilated(
+        img[None, None], k[:, None], (1, 1), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0]                                                     # (2, H, W)
+    xi = xy[:, 0].astype(jnp.int32)
+    yi = xy[:, 1].astype(jnp.int32)
+    return jnp.arctan2(maps[1, yi, xi], maps[0, yi, xi])
+
+
 def gaussian_blur7(img: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
     """Separable 7x7 Gaussian (the reference blurs before BRIEF sampling).
 
@@ -234,6 +263,26 @@ def gaussian_blur7(img: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
     return out
 
 
+def _pack_brief_bits(vals: jnp.ndarray) -> jnp.ndarray:
+    """(K, 256, 2) sampled pair values -> (K, 8) packed uint32."""
+    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (K, 256)
+    weights = jnp.asarray(
+        (2 ** np.arange(32, dtype=np.int64)).astype(np.uint32)
+    )
+    packed = jnp.sum(bits.reshape(-1, 8, 32) * weights[None, None, :], axis=-1)
+    return packed.astype(jnp.uint32)                         # (K, 8)
+
+
+def _rotated_offsets(xy, angles, pattern):
+    """Per-keypoint rotated pattern positions (image coords, float)."""
+    cos, sin = jnp.cos(angles), jnp.sin(angles)              # (K,)
+    pat = pattern.astype(jnp.float32)                        # (256, 2, 2) [x, y]
+    px, py = pat[..., 0], pat[..., 1]                        # (256, 2)
+    rx = cos[:, None, None] * px - sin[:, None, None] * py   # (K, 256, 2)
+    ry = sin[:, None, None] * px + cos[:, None, None] * py
+    return xy[:, None, None, 0] + rx, xy[:, None, None, 1] + ry
+
+
 def brief_descriptors(
     img_blur: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarray, pattern: jnp.ndarray
 ) -> jnp.ndarray:
@@ -241,22 +290,50 @@ def brief_descriptors(
 
     Pattern offsets are rotated by each keypoint's angle and sampled with
     nearest rounding (computeOrbDescriptor, ORBextractor.cc:109-143).
+    Sampling is one global (K, 256, 2) image gather.
     """
     H, W = img_blur.shape
-    cos, sin = jnp.cos(angles), jnp.sin(angles)              # (K,)
-    pat = pattern.astype(jnp.float32)                        # (256, 2, 2) [x, y]
-    px, py = pat[..., 0], pat[..., 1]                        # (256, 2)
-    rx = cos[:, None, None] * px - sin[:, None, None] * py   # (K, 256, 2)
-    ry = sin[:, None, None] * px + cos[:, None, None] * py
-    gx = jnp.clip(jnp.round(xy[:, None, None, 0] + rx), 0, W - 1).astype(jnp.int32)
-    gy = jnp.clip(jnp.round(xy[:, None, None, 1] + ry), 0, H - 1).astype(jnp.int32)
+    fx, fy = _rotated_offsets(xy, angles, pattern)
+    gx = jnp.clip(jnp.round(fx), 0, W - 1).astype(jnp.int32)
+    gy = jnp.clip(jnp.round(fy), 0, H - 1).astype(jnp.int32)
     vals = img_blur[gy, gx]                                  # (K, 256, 2)
-    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (K, 256)
-    weights = jnp.asarray(
-        (2 ** np.arange(32, dtype=np.int64)).astype(np.uint32)
+    return _pack_brief_bits(vals)
+
+
+R_BRIEF = 19  # patch radius covering any rotated offset (13*sqrt(2) < 19)
+
+
+def brief_descriptors_patch(
+    img_blur: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarray, pattern: jnp.ndarray
+) -> jnp.ndarray:
+    """BRIEF via per-keypoint 39x39 patch slices + row-local sampling.
+
+    Identical bits to `brief_descriptors` for keypoints >= EDGE_MARGIN
+    from the border (all valid ones): rotated offsets never leave the
+    patch, so the contiguous dynamic_slice + take_along_axis replaces
+    the K x 512 random full-image gather — the gather domain drops from
+    the whole frame to one 1521-element row per keypoint.
+    """
+    H, W = img_blur.shape
+    S = 2 * R_BRIEF + 1
+
+    def one(c):
+        y0 = jnp.clip(c[1].astype(jnp.int32) - R_BRIEF, 0, H - S)
+        x0 = jnp.clip(c[0].astype(jnp.int32) - R_BRIEF, 0, W - S)
+        return jax.lax.dynamic_slice(img_blur, (y0, x0), (S, S)), x0, y0
+
+    patches, x0, y0 = jax.vmap(one)(xy)                      # (K, S, S)
+    fx, fy = _rotated_offsets(xy, angles, pattern)
+    gx = jnp.clip(jnp.round(fx), 0, W - 1).astype(jnp.int32)
+    gy = jnp.clip(jnp.round(fy), 0, H - 1).astype(jnp.int32)
+    lx = jnp.clip(gx - x0[:, None, None], 0, S - 1)
+    ly = jnp.clip(gy - y0[:, None, None], 0, S - 1)
+    li = (ly * S + lx).reshape(xy.shape[0], -1)              # (K, 512)
+    flat = patches.reshape(xy.shape[0], S * S)
+    vals = jnp.take_along_axis(flat, li, axis=1).reshape(
+        xy.shape[0], -1, 2
     )
-    packed = jnp.sum(bits.reshape(-1, 8, 32) * weights[None, None, :], axis=-1)
-    return packed.astype(jnp.uint32)                         # (K, 8)
+    return _pack_brief_bits(vals)
 
 
 # ---------------------------------------------------------------------------
@@ -335,9 +412,17 @@ def extract(img: jnp.ndarray, params: ORBParams = ORBParams()):
         xy, resp, valid = select_keypoints(
             score, budgets[level], params.cell_size, params.per_cell
         )
-        ang = orientations(level_img, xy)
+        orient = (
+            orientations_conv if params.orient_mode == "conv" else orientations
+        )
+        ang = orient(level_img, xy)
         blurred = gaussian_blur7(level_img)
-        desc = brief_descriptors(blurred, xy, ang, pattern)
+        brief = (
+            brief_descriptors_patch
+            if params.brief_mode == "patch"
+            else brief_descriptors
+        )
+        desc = brief(blurred, xy, ang, pattern)
         outs["xy"].append(xy * scales[level])
         outs["response"].append(resp)
         outs["angle"].append(ang)

@@ -100,6 +100,75 @@ class TestOrientation:
         assert abs(ang2 - np.pi / 2) < 0.1
 
 
+class TestSamplingVariants:
+    """The MXU/patch-local alternatives must match the gather baselines
+    exactly for interior keypoints (all valid ones: EDGE_MARGIN=19)."""
+
+    def _interior_kps(self, h, w, n=200, seed=3):
+        rng = np.random.default_rng(seed)
+        xs = rng.integers(orb.EDGE_MARGIN, w - orb.EDGE_MARGIN, n)
+        ys = rng.integers(orb.EDGE_MARGIN, h - orb.EDGE_MARGIN, n)
+        return jnp.asarray(np.stack([xs, ys], -1).astype(np.float32))
+
+    def test_orientations_conv_parity(self, scene):
+        img, _ = scene
+        j = jnp.asarray(img)
+        xy = self._interior_kps(*img.shape)
+        a_ref = np.asarray(orb.orientations(j, xy))
+        a_conv = np.asarray(orb.orientations_conv(j, xy))
+        # same math, different accumulation order: moments agree to
+        # ~1e-2 absolute, so the angle matches tightly wherever the
+        # moment magnitude isn't degenerate (flat noise patches)
+        d = np.abs(np.angle(np.exp(1j * (a_conv - a_ref))))
+        assert np.quantile(d, 0.9) < 1e-3
+        assert np.median(d) < 2e-4
+
+    def test_brief_patch_parity(self, scene):
+        img, _ = scene
+        blurred = orb.gaussian_blur7(jnp.asarray(img))
+        xy = self._interior_kps(*img.shape, seed=4)
+        rng = np.random.default_rng(5)
+        ang = jnp.asarray(rng.uniform(-np.pi, np.pi, xy.shape[0]).astype(np.float32))
+        pattern = jnp.asarray(orb.brief_pattern())
+        d_ref = np.asarray(orb.brief_descriptors(blurred, xy, ang, pattern))
+        d_patch = np.asarray(
+            orb.brief_descriptors_patch(blurred, xy, ang, pattern)
+        )
+        np.testing.assert_array_equal(d_patch, d_ref)
+
+    def test_extract_patch_brief_end_to_end(self, scene, feats):
+        img, _ = scene
+        params = orb.ORBParams(n_features=500, n_levels=4, brief_mode="patch")
+        out = jax.tree.map(np.asarray, orb.extract(jnp.asarray(img), params))
+        # same selection and angles; bit-identical descriptors
+        np.testing.assert_array_equal(out["xy"], feats["xy"])
+        np.testing.assert_array_equal(out["angle"], feats["angle"])
+        valid = feats["valid"] > 0
+        np.testing.assert_array_equal(
+            out["desc"][valid], feats["desc"][valid]
+        )
+
+    def test_extract_conv_orient_end_to_end(self, scene, feats):
+        img, _ = scene
+        params = orb.ORBParams(n_features=500, n_levels=4, orient_mode="conv")
+        out = jax.tree.map(np.asarray, orb.extract(jnp.asarray(img), params))
+        np.testing.assert_array_equal(out["xy"], feats["xy"])
+        valid = feats["valid"] > 0
+        d = np.abs(
+            np.angle(np.exp(1j * (out["angle"] - feats["angle"])))[valid]
+        )
+        # selected keypoints are strong corners -> stable moments; the
+        # accumulation-order noise stays tiny (descriptor bits may still
+        # flip where a rotated offset sits exactly on a .5 boundary)
+        assert np.quantile(d, 0.95) < 1e-3
+        ham = np.unpackbits(
+            (out["desc"][valid] ^ feats["desc"][valid]).view(np.uint8),
+            axis=1,
+        ).sum(axis=1)
+        assert np.median(ham) == 0
+        assert np.quantile(ham, 0.95) <= 4
+
+
 class TestDescriptors:
     def test_deterministic_and_discriminative(self, scene, feats):
         img, _ = scene

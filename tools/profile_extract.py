@@ -78,7 +78,12 @@ def _stage_fn(params: orb.ORBParams, upto: str):
             if upto == "select":
                 acc = acc + jnp.sum(xy) + jnp.sum(resp)
                 continue
-            ang = orb.orientations(level_img, xy)
+            orient = (
+                orb.orientations_conv
+                if params.orient_mode == "conv"
+                else orb.orientations
+            )
+            ang = orient(level_img, xy)
             if upto == "orient":
                 acc = acc + jnp.sum(ang)
                 continue
@@ -86,7 +91,12 @@ def _stage_fn(params: orb.ORBParams, upto: str):
             if upto == "blur":
                 acc = acc + jnp.sum(ang) + jnp.sum(blurred[::16, ::16])
                 continue
-            desc = orb.brief_descriptors(blurred, xy, ang, pattern)
+            brief = (
+                orb.brief_descriptors_patch
+                if params.brief_mode == "patch"
+                else orb.brief_descriptors
+            )
+            desc = brief(blurred, xy, ang, pattern)
             acc = acc + jnp.sum(desc.astype(jnp.float32)) + jnp.sum(ang)
         return acc
 
@@ -99,6 +109,8 @@ def main():
     ap.add_argument("--nf", type=int, default=4000)
     ap.add_argument("--backend", default="auto",
                     choices=("auto", "xla", "pallas"))
+    ap.add_argument("--orient", default="patch", choices=("patch", "conv"))
+    ap.add_argument("--brief", default="global", choices=("global", "patch"))
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
@@ -106,12 +118,14 @@ def main():
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
     params = orb.ORBParams(
-        n_features=args.nf, n_levels=8, fast_backend=args.backend
+        n_features=args.nf, n_levels=8, fast_backend=args.backend,
+        orient_mode=args.orient, brief_mode=args.brief,
     )
 
     stages = ("pyramid", "fast", "select", "orient", "blur", "brief")
     prev = 0.0
     print(f"{args.profile} {h}x{w} nf={args.nf} backend={args.backend} "
+          f"orient={args.orient} brief={args.brief} "
           f"({jax.default_backend()})")
     for st in stages:
         fn = _stage_fn(params, st)
