@@ -89,9 +89,8 @@ def init_params(cfg: MaskRCNNConfig, key: jax.Array) -> dict:
         cin = cout
         width *= 2
     c = cfg.fpn_channels
-    p["lateral"] = [
-        _conv(next(ks), ch, c, 1) for ch in (256, 512, 1024, 2048)
-    ]
+    stage_out = [cfg.stem_channels * 4 * 2**i for i in range(4)]
+    p["lateral"] = [_conv(next(ks), ch, c, 1) for ch in stage_out]
     p["fpn_out"] = [_conv(next(ks), c, c, 3) for _ in range(4)]
     n_anchor = len(cfg.anchor_scales) * len(cfg.anchor_ratios)
     p["rpn_conv"] = _conv(next(ks), c, c, 3)

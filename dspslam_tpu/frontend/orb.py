@@ -65,12 +65,14 @@ class ORBParams:
     # "pallas" runs in interpret mode (tests).
     fast_backend: str = "auto"
     # per-feature sampling strategies (identical outputs for valid
-    # keypoints; A/B-measured on-chip via tools/profile_extract.py):
-    # orientation "patch" gathers 31x31 patches, "conv" computes dense
-    # moment maps on the MXU; BRIEF "global" does one full-image gather,
-    # "patch" samples inside contiguous 39x39 slices.
+    # keypoints; measured on-chip via tools/{profile_extract,bench_brief}):
+    # orientation "patch" gathers 31x31 patches ("conv" moment maps lose
+    # badly on TPU: XLA lowers the 1-channel 31x31 conv at ~600 ms).
+    # BRIEF: "auto" picks the one-hot-matmul sampler on TPU (~2x vs the
+    # gather, exact bits) and the global gather on CPU; "global"/
+    # "patch"/"onehot" force one path.
     orient_mode: str = "patch"
-    brief_mode: str = "global"
+    brief_mode: str = "auto"
 
     def features_per_level(self) -> list[int]:
         """Geometric budget per level (ORBextractor.cc:436-447)."""
@@ -225,11 +227,16 @@ def orientations_conv(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Intensity-centroid angles via dense moment maps.
 
     One 2-channel 31x31 cross-correlation computes m10/m01 for EVERY
-    pixel on the MXU, then each keypoint reads back two scalars —
-    replacing the K x 961 patch gathers of `orientations`. Identical
-    angles for keypoints >= HALF_PATCH from the border (all valid ones,
+    pixel, then each keypoint reads back two scalars — replacing the
+    K x 961 patch gathers of `orientations`. Identical angles for
+    keypoints >= HALF_PATCH from the border (all valid ones,
     EDGE_MARGIN=19): interior patches neither clamp nor see the conv's
     zero padding.
+
+    MEASURED LOSER on v5e (do not enable on TPU): XLA lowers the
+    single-channel 31x31 conv at ~600 ms/frame vs ~2 ms for the patch
+    gathers (tools/profile_extract.py --orient conv). Kept as the
+    CPU-friendly formulation and as documentation of the measurement.
     """
     k = jnp.stack(
         [jnp.asarray(_U_WEIGHTS, img.dtype), jnp.asarray(_V_WEIGHTS, img.dtype)]
@@ -303,17 +310,13 @@ def brief_descriptors(
 R_BRIEF = 19  # patch radius covering any rotated offset (13*sqrt(2) < 19)
 
 
-def brief_descriptors_patch(
-    img_blur: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarray, pattern: jnp.ndarray
-) -> jnp.ndarray:
-    """BRIEF via per-keypoint 39x39 patch slices + row-local sampling.
+def _brief_patches_local(img_blur, xy, angles, pattern):
+    """Per-keypoint 39x39 blurred patches + patch-local sample indices.
 
-    Identical bits to `brief_descriptors` for keypoints >= EDGE_MARGIN
-    from the border (all valid ones): rotated offsets never leave the
-    patch, so the contiguous dynamic_slice + take_along_axis replaces
-    the K x 512 random full-image gather — the gather domain drops from
-    the whole frame to one 1521-element row per keypoint.
-    """
+    Identical sample positions to `brief_descriptors` for keypoints
+    >= EDGE_MARGIN from the border (all valid ones): rotated offsets
+    never leave the patch (|13*sqrt(2)| < R_BRIEF), so the contiguous
+    dynamic_slice covers every sample."""
     H, W = img_blur.shape
     S = 2 * R_BRIEF + 1
 
@@ -328,11 +331,40 @@ def brief_descriptors_patch(
     gy = jnp.clip(jnp.round(fy), 0, H - 1).astype(jnp.int32)
     lx = jnp.clip(gx - x0[:, None, None], 0, S - 1)
     ly = jnp.clip(gy - y0[:, None, None], 0, S - 1)
-    li = (ly * S + lx).reshape(xy.shape[0], -1)              # (K, 512)
+    return patches, lx.reshape(xy.shape[0], -1), ly.reshape(xy.shape[0], -1)
+
+
+def brief_descriptors_patch(
+    img_blur: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarray, pattern: jnp.ndarray
+) -> jnp.ndarray:
+    """BRIEF via patch slices + row-local take_along_axis. Bit-identical
+    to `brief_descriptors` for valid keypoints; measured ~even with the
+    global gather on v5e (tools/bench_brief.py) — kept as the simplest
+    patch-domain formulation."""
+    S = 2 * R_BRIEF + 1
+    patches, lx, ly = _brief_patches_local(img_blur, xy, angles, pattern)
+    li = ly * S + lx                                         # (K, 512)
     flat = patches.reshape(xy.shape[0], S * S)
-    vals = jnp.take_along_axis(flat, li, axis=1).reshape(
-        xy.shape[0], -1, 2
-    )
+    vals = jnp.take_along_axis(flat, li, axis=1).reshape(xy.shape[0], -1, 2)
+    return _pack_brief_bits(vals)
+
+
+def brief_descriptors_onehot(
+    img_blur: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarray, pattern: jnp.ndarray
+) -> jnp.ndarray:
+    """BRIEF via separable one-hot MATMUL sampling — no data-dependent
+    gather at all: row selection is a (512, 39) one-hot batched matmul
+    against each keypoint's patch on the MXU, column selection a masked
+    sum. Bit-identical to `brief_descriptors` for valid keypoints and
+    measured ~2x faster at Freiburg mono shapes on v5e (19 vs 39 ms for
+    4000 keypoints, tools/bench_brief.py) where XLA's TPU gather runs
+    far below HBM speed of light."""
+    S = 2 * R_BRIEF + 1
+    patches, lx, ly = _brief_patches_local(img_blur, xy, angles, pattern)
+    a = jax.nn.one_hot(ly, S, dtype=jnp.float32)             # (K, 512, S)
+    b = jax.nn.one_hot(lx, S, dtype=jnp.float32)             # (K, 512, S)
+    m = jnp.einsum("ksi,kij->ksj", a, patches)               # (K, 512, S)
+    vals = jnp.sum(m * b, axis=-1).reshape(xy.shape[0], -1, 2)
     return _pack_brief_bits(vals)
 
 
@@ -417,11 +449,18 @@ def extract(img: jnp.ndarray, params: ORBParams = ORBParams()):
         )
         ang = orient(level_img, xy)
         blurred = gaussian_blur7(level_img)
-        brief = (
-            brief_descriptors_patch
-            if params.brief_mode == "patch"
-            else brief_descriptors
-        )
+        mode = params.brief_mode
+        if mode == "auto":
+            mode = (
+                "onehot"
+                if jax.default_backend() not in ("cpu", "gpu")
+                else "global"
+            )
+        brief = {
+            "global": brief_descriptors,
+            "patch": brief_descriptors_patch,
+            "onehot": brief_descriptors_onehot,
+        }[mode]
         desc = brief(blurred, xy, ang, pattern)
         outs["xy"].append(xy * scales[level])
         outs["response"].append(resp)

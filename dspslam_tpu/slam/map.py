@@ -34,13 +34,32 @@ class Frame:
     def __init__(self, timestamp: float, feats: dict, depth=None, u_right=None):
         self.id = next(Frame._ids)
         self.timestamp = timestamp
-        self.feats = feats                     # dict of numpy arrays (orb.extract)
+        # feats may arrive as device arrays from a pipelined tracker and
+        # materialize lazily: non-keyframe frames never read them on the
+        # host, so skipping the ~250 KB/frame fetch is a large slice of
+        # the mono real-time budget on relay-attached TPUs
+        self._feats = feats                    # numpy OR device arrays
+        self._feats_on_host = isinstance(feats["xy"], np.ndarray)
         self.n = len(feats["xy"])
         self.depth = depth                     # (N,) or None
         self.u_right = u_right                 # (N,) or None
         self.T_cw = np.eye(4, dtype=np.float32)
         self.map_point_ids = np.full(self.n, -1, np.int64)
         self.outlier = np.zeros(self.n, bool)
+
+    @property
+    def feats(self) -> dict:
+        if not self._feats_on_host:
+            import jax
+
+            self._feats = jax.device_get(self._feats)
+            self._feats_on_host = True
+        return self._feats
+
+    @feats.setter
+    def feats(self, value: dict):
+        self._feats = value
+        self._feats_on_host = isinstance(value["xy"], np.ndarray)
 
     @property
     def T_wc(self):

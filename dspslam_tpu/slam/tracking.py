@@ -365,7 +365,10 @@ class Tracker:
             "feats_j": feats_j, "st_j": st_j, "result_j": result_j,
             "cid": cid, "cpos": cpos, "cval": cval,
         }
-        _prefetch_to_host((feats_j, st_j, result_j))
+        # feats stay on device: Frame materializes them lazily (only
+        # keyframes read them on the host), saving their ~250 KB/frame
+        # of relay download bandwidth
+        _prefetch_to_host((st_j, result_j))
         self._chain = chain
         if prev is not None:
             return self._finalize_inflight(prev)
@@ -397,7 +400,7 @@ class Tracker:
             "feats_j": feats_j, "st_j": None, "result_j": result_j,
             "cid": cid, "cpos": cpos, "cval": cval,
         }
-        _prefetch_to_host((feats_j, result_j))
+        _prefetch_to_host(result_j)
         self._chain = chain
         if prev is not None:
             return self._finalize_inflight(prev)
@@ -407,15 +410,14 @@ class Tracker:
         """Fetch + host bookkeeping for a dispatched frame (runs one
         frame behind in pipelined mode)."""
         if h["st_j"] is not None:
-            feats, st, result = jax.device_get(
-                (h["feats_j"], h["st_j"], h["result_j"])
-            )
+            st, result = jax.device_get((h["st_j"], h["result_j"]))
             frame = Frame(
-                h["timestamp"], feats, depth=st["depth"], u_right=st["u_right"]
+                h["timestamp"], h["feats_j"],
+                depth=st["depth"], u_right=st["u_right"],
             )
         else:
-            feats, result = jax.device_get((h["feats_j"], h["result_j"]))
-            frame = Frame(h["timestamp"], feats)
+            result = jax.device_get(h["result_j"])
+            frame = Frame(h["timestamp"], h["feats_j"])
         cur_seq = self._current_seq
         self._current_seq = h["seq"]
         frame, ok = self._apply_fused_result(
@@ -552,7 +554,7 @@ class Tracker:
             "feats_j": feats_j, "st_j": st_j, "result_j": result_j,
             "cid": cid, "cpos": cpos, "cval": cval,
         }
-        _prefetch_to_host((feats_j, st_j, result_j))
+        _prefetch_to_host((st_j, result_j))
         self._chain = chain
         if prev is not None:
             return self._finalize_inflight(prev)

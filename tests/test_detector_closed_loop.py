@@ -23,6 +23,35 @@ from dspslam_tpu.detect.pointpillars import Detector3D
 
 
 @pytest.mark.slow
+def test_maskrcnn_closed_loop_recovers_planted_instances():
+    """Train the 2D stack on one planted scene; detect() must recover
+    every instance with a localized box and silhouette-matching mask
+    through the real inference path (RPN proposals -> heads -> NMS ->
+    paste_masks), and Detector2D's label filter must pass them
+    (detector2d.py:59-86 semantics)."""
+    import jax.numpy as jnp
+
+    from dspslam_tpu.detect import maskrcnn as mr
+    from dspslam_tpu.detect import maskrcnn_train as mt
+
+    cfg = mt.small_config()
+    params, img, gt, gt_masks = mt.overfit_scene(cfg, steps=600, seed=0)
+    det = mr.Detector2D(params=params, cfg=cfg)
+    out = det.make_prediction(img)
+    pb, pm = out["pred_boxes"], out["pred_masks"]
+    assert len(pb) >= len(gt), f"{len(pb)} detections for {len(gt)} gt"
+    iou = np.asarray(mr.iou_matrix(jnp.asarray(pb[:, :4]), jnp.asarray(gt)))
+    for gi in range(len(gt)):
+        best = iou[:, gi].argmax()
+        assert iou[best, gi] > 0.5, f"gt {gi}: best box IoU {iou[best, gi]}"
+        inter = (pm[best] & (gt_masks[gi] > 0)).sum()
+        union = (pm[best] | (gt_masks[gi] > 0)).sum()
+        assert inter / max(union, 1) > 0.5, f"gt {gi}: mask IoU too low"
+    # no hallucinations: every detection overlaps some instance
+    assert (iou.max(axis=1) > 0.3).all(), "spurious detection"
+
+
+@pytest.mark.slow
 def test_pointpillars_closed_loop_recovers_planted_boxes():
     cfg = ppt.small_config()
     params, scan, gt = ppt.overfit_scene(cfg, steps=320, seed=0)

@@ -123,7 +123,7 @@ class TestSamplingVariants:
         assert np.quantile(d, 0.9) < 1e-3
         assert np.median(d) < 2e-4
 
-    def test_brief_patch_parity(self, scene):
+    def test_brief_patch_and_onehot_parity(self, scene):
         img, _ = scene
         blurred = orb.gaussian_blur7(jnp.asarray(img))
         xy = self._interior_kps(*img.shape, seed=4)
@@ -135,6 +135,10 @@ class TestSamplingVariants:
             orb.brief_descriptors_patch(blurred, xy, ang, pattern)
         )
         np.testing.assert_array_equal(d_patch, d_ref)
+        d_onehot = np.asarray(
+            orb.brief_descriptors_onehot(blurred, xy, ang, pattern)
+        )
+        np.testing.assert_array_equal(d_onehot, d_ref)
 
     def test_extract_patch_brief_end_to_end(self, scene, feats):
         img, _ = scene

@@ -91,11 +91,11 @@ def _stage_fn(params: orb.ORBParams, upto: str):
             if upto == "blur":
                 acc = acc + jnp.sum(ang) + jnp.sum(blurred[::16, ::16])
                 continue
-            brief = (
-                orb.brief_descriptors_patch
-                if params.brief_mode == "patch"
-                else orb.brief_descriptors
-            )
+            brief = {
+                "global": orb.brief_descriptors,
+                "patch": orb.brief_descriptors_patch,
+                "onehot": orb.brief_descriptors_onehot,
+            }[params.brief_mode]
             desc = brief(blurred, xy, ang, pattern)
             acc = acc + jnp.sum(desc.astype(jnp.float32)) + jnp.sum(ang)
         return acc
@@ -110,7 +110,8 @@ def main():
     ap.add_argument("--backend", default="auto",
                     choices=("auto", "xla", "pallas"))
     ap.add_argument("--orient", default="patch", choices=("patch", "conv"))
-    ap.add_argument("--brief", default="global", choices=("global", "patch"))
+    ap.add_argument("--brief", default="global",
+                    choices=("global", "patch", "onehot"))
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
