@@ -45,6 +45,11 @@ class MaskRCNNConfig:
     rpn_pre_nms: int = 512
     rpn_post_nms: int = 128
     rpn_nms_iou: float = 0.7
+    # resnet+FPN compute dtype: bf16 is the TPU inference standard
+    # (~2x conv throughput on the MXU, f32 partial-sum accumulation);
+    # the trainer overrides to float32 (bf16 grads stall the closed-loop
+    # overfit). RPN/RoI heads and all box math stay f32 either way.
+    backbone_dtype: str = "bfloat16"
     # heads
     roi_size: int = 7
     mask_roi_size: int = 14
@@ -112,15 +117,19 @@ def init_params(cfg: MaskRCNNConfig, key: jax.Array) -> dict:
 
 
 def _conv2d(x, p, stride=1, k=None):
+    # weights follow the activation dtype (bf16 backbone, f32 heads);
+    # the MXU accumulates partial sums in f32 either way
     return jax.lax.conv_general_dilated(
-        x, p["w"], (stride, stride), "SAME",
+        x, p["w"].astype(x.dtype), (stride, stride), "SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    ) + p["b"][None, :, None, None]
+        preferred_element_type=x.dtype,
+    ) + p["b"].astype(x.dtype)[None, :, None, None]
 
 
 def resnet_fpn(params, img, cfg: MaskRCNNConfig):
-    """(1, 3, H, W) image (normalized) -> [P2, P3, P4, P5, P6] features."""
-    x = jnp.maximum(_conv2d(img, params["stem"], 2), 0.0)
+    """(1, 3, H, W) image (normalized) -> [P2, P3, P4, P5, P6] features
+    (always f32; the backbone itself runs in cfg.backbone_dtype)."""
+    x = jnp.maximum(_conv2d(img.astype(cfg.backbone_dtype), params["stem"], 2), 0.0)
     x = -jax.lax.reduce_window(
         -x, jnp.inf, jax.lax.min, (1, 1, 3, 3), (1, 1, 2, 2), "SAME"
     )   # maxpool 3x3/2
@@ -148,7 +157,7 @@ def resnet_fpn(params, img, cfg: MaskRCNNConfig):
         )
         laterals[i - 1] = laterals[i - 1] + up
     outs = [
-        jnp.maximum(_conv2d(l, op), 0.0)
+        jnp.maximum(_conv2d(l, op), 0.0).astype(jnp.float32)
         for l, op in zip(laterals, params["fpn_out"])
     ]
     p6 = -jax.lax.reduce_window(

@@ -49,6 +49,7 @@ def small_config() -> mr.MaskRCNNConfig:
         stage_blocks=(1, 1, 1, 1),
         stem_channels=8,
         fpn_channels=32,
+        backbone_dtype="float32",  # f32 grads for the overfit loop
         rpn_pre_nms=256,
         rpn_post_nms=32,
         fc_dim=64,
