@@ -267,6 +267,34 @@ def roi_align(feat, boxes, out_size):
     return jax.vmap(one)(boxes)
 
 
+def roi_align_matmul(feat, boxes, out_size):
+    """RoIAlign as separable interpolation MATMULS — no data-dependent
+    gather: the bilinear row/column sample weights are rank-(out, H)
+    banded matrices (two nonzeros per row, built with one_hot), so the
+    crop is Wy @ F @ Wx^T on the MXU. Same sample positions/weights as
+    `roi_align` (float-associativity differences only). Motivated by the
+    BRIEF one-hot sampler win (orb.py): XLA's TPU gather runs far below
+    HBM speed of light, while the extra FLOPs are MXU change."""
+    C, H, W = feat.shape
+    n = boxes.shape[0]
+    cs = (jnp.arange(out_size) + 0.5) / out_size
+
+    def weights(lo, hi, size):
+        # (out, size) interpolation weights for one box edge pair
+        c = lo + cs * jnp.maximum(hi - lo, 1e-3)
+        i0 = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, size - 2)
+        f = jnp.clip(c - i0, 0.0, 1.0)
+        return (
+            jax.nn.one_hot(i0, size) * (1 - f)[:, None]
+            + jax.nn.one_hot(i0 + 1, size) * f[:, None]
+        )
+
+    wy = jax.vmap(lambda b: weights(b[1], b[3], H))(boxes)   # (N, o, H)
+    wx = jax.vmap(lambda b: weights(b[0], b[2], W))(boxes)   # (N, o, W)
+    rows = jnp.einsum("noh,chw->ncow", wy, feat)
+    return jnp.einsum("ncow,njw->ncoj", rows, wx)
+
+
 def fpn_level_of(boxes: jnp.ndarray) -> jnp.ndarray:
     """mmdet's FPN RoI level assignment: floor(4 + log2(sqrt(w*h)/224)),
     clamped to P2..P5 -> returned as index 0..3 into [P2, P3, P4, P5]."""
@@ -282,11 +310,19 @@ def roi_align_fpn(feats, boxes, out_size, strides=(4, 8, 16, 32)):
     scale (small boxes -> fine P2, large -> coarse P5). Fixed-shape TPU
     formulation: align against ALL four levels and one-hot-select —
     boxes are few (~100) so the 4x over-compute is cheaper than any
-    gather/scatter shape gymnastics."""
+    gather/scatter shape gymnastics. On TPU the per-level align runs as
+    separable matmuls (roi_align_matmul; measured vs the gather via
+    tools/bench_roialign.py); the gather formulation stays the CPU
+    path."""
+    align = (
+        roi_align_matmul
+        if jax.default_backend() not in ("cpu", "gpu")
+        else roi_align
+    )
     lvl = fpn_level_of(boxes)                              # (N,)
     outs = jnp.stack(
         [
-            roi_align(feats[i][0], boxes / strides[i], out_size)
+            align(feats[i][0], boxes / strides[i], out_size)
             for i in range(4)
         ]
     )                                                      # (4, N, C, o, o)
@@ -383,6 +419,28 @@ def detect(params, img, image_hw: tuple, cfg: MaskRCNNConfig):
     }
 
 
+def _resize_bilinear_np(m: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Pure-numpy bilinear resize (jax.image.resize semantics: sample at
+    pixel centers of the scaled grid). Host-only on purpose — a device
+    resize here would compile a fresh program per box size and pay a
+    relay round trip per instance."""
+    sh, sw = m.shape
+    y = (np.arange(h) + 0.5) * sh / h - 0.5
+    x = (np.arange(w) + 0.5) * sw / w - 0.5
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, sh - 1)
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, sw - 1)
+    y1 = np.minimum(y0 + 1, sh - 1)
+    x1 = np.minimum(x0 + 1, sw - 1)
+    fy = np.clip(y - y0, 0.0, 1.0)[:, None]
+    fx = np.clip(x - x0, 0.0, 1.0)[None, :]
+    return (
+        m[y0[:, None], x0[None, :]] * (1 - fy) * (1 - fx)
+        + m[y0[:, None], x1[None, :]] * (1 - fy) * fx
+        + m[y1[:, None], x0[None, :]] * fy * (1 - fx)
+        + m[y1[:, None], x1[None, :]] * fy * fx
+    )
+
+
 def paste_masks(boxes, mask_logits, valid, image_hw):
     """28x28 logits -> full-resolution boolean instance masks (host)."""
     H, W = image_hw
@@ -395,11 +453,7 @@ def paste_masks(boxes, mask_logits, valid, image_hw):
         x1, y1 = min(x1, W), min(y1, H)
         if x1 <= x0 or y1 <= y0:
             continue
-        import jax.image
-
-        resized = np.asarray(
-            jax.image.resize(jnp.asarray(m), (y1 - y0, x1 - x0), "bilinear")
-        )
+        resized = _resize_bilinear_np(np.asarray(m), y1 - y0, x1 - x0)
         out[i, y0:y1, x0:x1] = resized > 0.0
     return out
 

@@ -289,15 +289,21 @@ class LocalMapper:
                     break
 
         M = keyframe_step.MAX_NEIGHBORS
-        nb_feats = {
-            k: np.zeros((M,) + v.shape, v.dtype) for k, v in kf.feats.items()
-        }
+        # neighbor feats stack ON DEVICE from each keyframe's resident
+        # copy (feats_jax) — the padded host stack used to re-upload up
+        # to M x ~250 KB per keyframe over the relay. Empty slots are
+        # zeros (masked out by nb_ok=0 in the device program).
+        kf_dev = kf.feats_jax()
+        zeros = {k: jnp.zeros_like(v) for k, v in kf_dev.items()}
+        nb_dev = [
+            (neighbors[i].feats_jax() if i < len(neighbors) else zeros)
+            for i in range(M)
+        ]
+        nb_feats = {k: jnp.stack([d[k] for d in nb_dev]) for k in kf_dev}
         nb_T = np.tile(np.eye(4, dtype=np.float32), (M, 1, 1))
         nb_has = np.ones((M, N), np.float32)
         nb_ok = np.zeros(M, np.float32)
         for i, other in enumerate(neighbors):
-            for k in nb_feats:
-                nb_feats[k][i] = other.feats[k]
             nb_T[i] = other.T_cw
             nb_has[i] = (other.map_point_ids >= 0).astype(np.float32)
             nb_ok[i] = 1.0
@@ -328,7 +334,7 @@ class LocalMapper:
             return None
 
         out = keyframe_step.keyframe_matching(
-            {k: jnp.asarray(v) for k, v in kf.feats.items()},
+            kf_dev,           # reuses the on-device copy (no re-upload)
             jnp.asarray(kf.T_cw),
             (kf.map_point_ids >= 0).astype(np.float32),
             (

@@ -37,9 +37,15 @@ class Frame:
         # feats may arrive as device arrays from a pipelined tracker and
         # materialize lazily: non-keyframe frames never read them on the
         # host, so skipping the ~250 KB/frame fetch is a large slice of
-        # the mono real-time budget on relay-attached TPUs
+        # the mono real-time budget on relay-attached TPUs. The device
+        # copy is kept after materialization (feats_jax) so keyframe
+        # device programs never re-upload what the chip already holds.
+        # Contract: the host dict must not be item-mutated after Frame
+        # construction (undistortion happens before it; nothing else
+        # writes) — use the `feats` setter to swap the whole dict.
         self._feats = feats                    # numpy OR device arrays
         self._feats_on_host = isinstance(feats["xy"], np.ndarray)
+        self._feats_dev = None if self._feats_on_host else feats
         self.n = len(feats["xy"])
         self.depth = depth                     # (N,) or None
         self.u_right = u_right                 # (N,) or None
@@ -60,6 +66,17 @@ class Frame:
     def feats(self, value: dict):
         self._feats = value
         self._feats_on_host = isinstance(value["xy"], np.ndarray)
+        self._feats_dev = None if self._feats_on_host else value
+
+    def feats_jax(self) -> dict:
+        """Features as device arrays, reusing the original device copy
+        when the frame was born on-device (no host->device re-upload on
+        the keyframe path)."""
+        if self._feats_dev is not None:
+            return self._feats_dev
+        import jax.numpy as jnp
+
+        return {k: jnp.asarray(v) for k, v in self.feats.items()}
 
     @property
     def T_wc(self):
@@ -120,7 +137,8 @@ class KeyFrame:
         self.frame_id = frame.id
         self.seq_idx = -1        # caller-visible sequence index (set by Tracker)
         self.timestamp = frame.timestamp
-        self.feats = frame.feats
+        self.feats = frame.feats               # materializes to host
+        self._feats_dev = frame._feats_dev     # keep the device copy too
         self.n = frame.n
         self.depth = frame.depth
         self.u_right = frame.u_right
@@ -138,6 +156,15 @@ class KeyFrame:
         self.detections: list = []               # objects.detections.Detection
         self.object_associations: dict[int, int] = {}  # det idx -> object id
         self.T_cw_before_gba = None
+
+    def feats_jax(self) -> dict:
+        """Features as device arrays, reusing the frame's original
+        device copy when available (see Frame.feats_jax)."""
+        if self._feats_dev is not None:
+            return self._feats_dev
+        import jax.numpy as jnp
+
+        return {k: jnp.asarray(v) for k, v in self.feats.items()}
 
     @property
     def T_wc(self):

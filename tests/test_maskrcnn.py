@@ -37,6 +37,23 @@ class TestRoIAlign:
         out = mr.roi_align(feat, jnp.asarray([[8.0, 8.0, 16.0, 16.0]]), 4)
         np.testing.assert_allclose(np.asarray(out)[0, 0], 5.0, atol=0.5)
 
+    def test_matmul_formulation_parity(self):
+        # roi_align_matmul must reproduce the gather formulation's
+        # samples (same positions/weights, matmul associativity only)
+        rng = np.random.default_rng(7)
+        feat = jnp.asarray(rng.normal(size=(16, 40, 56)).astype(np.float32))
+        x0 = rng.uniform(0, 40, 12)
+        y0 = rng.uniform(0, 28, 12)
+        boxes = jnp.asarray(
+            np.stack(
+                [x0, y0, x0 + rng.uniform(2, 14, 12),
+                 y0 + rng.uniform(2, 10, 12)], -1
+            ).astype(np.float32)
+        )
+        a = np.asarray(mr.roi_align(feat, boxes, 7))
+        b = np.asarray(mr.roi_align_matmul(feat, boxes, 7))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
     def test_gradient_region(self):
         # feature = x coordinate; crop of [4, 12] spans values 4..12
         f = jnp.broadcast_to(jnp.arange(32, dtype=jnp.float32), (1, 32, 32))
