@@ -118,12 +118,17 @@ def init_params(cfg: MaskRCNNConfig, key: jax.Array) -> dict:
 
 def _conv2d(x, p, stride=1, k=None):
     # weights follow the activation dtype (bf16 backbone, f32 heads);
-    # the MXU accumulates partial sums in f32 either way
-    return jax.lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype), (stride, stride), "SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=x.dtype,
-    ) + p["b"].astype(x.dtype)[None, :, None, None]
+    # partial sums are REQUESTED in f32 (preferred_element_type) so the
+    # reduction over up to 2048 channels never accumulates at bf16 —
+    # the MXU does this natively, and the result cast back is fused
+    return (
+        jax.lax.conv_general_dilated(
+            x, p["w"].astype(x.dtype), (stride, stride), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        + p["b"].astype(x.dtype)[None, :, None, None]
+    )
 
 
 def resnet_fpn(params, img, cfg: MaskRCNNConfig):
@@ -334,45 +339,69 @@ def roi_align_fpn(feats, boxes, out_size, strides=(4, 8, 16, 32)):
 # full forward
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def detect(params, img, image_hw: tuple, cfg: MaskRCNNConfig):
-    """(H, W, 3) uint8/float image (or (H, W) grayscale, tiled on
-    device — saves 3x host->device bandwidth) -> dict(boxes (K, 4),
-    scores (K,), labels (K,), valid (K,), masks (K, 28, 28) logits)."""
-    H, W = image_hw
+def normalize_image(img):
+    """(H, W, 3) or (H, W) uint8/float -> (1, 3, H, W) f32, ImageNet
+    normalization (grayscale tiles on device: 3x less upload)."""
     img = jnp.asarray(img)
     if img.ndim == 2:
         img = jnp.broadcast_to(img[..., None], (*img.shape, 3))
-    x = (jnp.asarray(img, jnp.float32) / 255.0 - jnp.asarray([0.485, 0.456, 0.406])) \
-        / jnp.asarray([0.229, 0.224, 0.225])
-    x = x.transpose(2, 0, 1)[None]
-    feats = resnet_fpn(params, x, cfg)
-    strides = [4, 8, 16, 32, 64]
+    x = (
+        jnp.asarray(img, jnp.float32) / 255.0
+        - jnp.asarray([0.485, 0.456, 0.406])
+    ) / jnp.asarray([0.229, 0.224, 0.225])
+    return x.transpose(2, 0, 1)[None]
 
-    # RPN over all levels
+
+RPN_STRIDES = (4, 8, 16, 32, 64)
+
+
+def rpn_level_outputs(params, f):
+    """One FPN level through the RPN heads -> (scores (A*h*w,),
+    deltas (A*h*w, 4)) in the anchor layout of _level_anchors."""
+    h = jnp.maximum(_conv2d(f, params["rpn_conv"]), 0.0)
+    cls = _conv2d(h, params["rpn_cls"])[0]              # (A, h, w)
+    reg = _conv2d(h, params["rpn_reg"])[0]              # (A*4, h, w)
+    n_anchor = cls.shape[0]
+    hw = cls.shape[-2:]
+    scores = cls.transpose(1, 2, 0).reshape(-1)
+    deltas = (
+        reg.reshape(n_anchor, 4, *hw).transpose(2, 3, 0, 1).reshape(-1, 4)
+    )
+    return scores, deltas
+
+
+def rpn_propose(params, feats, image_hw, cfg: MaskRCNNConfig):
+    """Full RPN proposal stage (heads -> per-level top-k -> delta decode
+    -> clip -> greedy NMS) -> ((rpn_post_nms, 4) boxes, validity). The
+    ONE definition shared by detect(), the trainer's hard-proposal
+    mining (maskrcnn_train.rpn_proposals) and tools/profile_detect —
+    keeps training/inference proposal distributions in lockstep."""
+    H, W = image_hw
     all_boxes, all_scores = [], []
-    for f, stride in zip(feats, strides):
-        h = jnp.maximum(_conv2d(f, params["rpn_conv"]), 0.0)
-        cls = _conv2d(h, params["rpn_cls"])[0]          # (A, h, w)
-        reg = _conv2d(h, params["rpn_reg"])[0]          # (A*4, h, w)
-        n_anchor = cls.shape[0]
-        hw = cls.shape[-2:]
-        anchors = jnp.asarray(_level_anchors(hw, stride, cfg))
-        scores = cls.transpose(1, 2, 0).reshape(-1)
-        deltas = (
-            reg.reshape(n_anchor, 4, *hw).transpose(2, 3, 0, 1).reshape(-1, 4)
-        )
+    for f, stride in zip(feats, RPN_STRIDES):
+        scores, deltas = rpn_level_outputs(params, f)
+        anchors = jnp.asarray(_level_anchors(f.shape[-2:], stride, cfg))
         k = min(cfg.rpn_pre_nms, scores.shape[0])
         top, idx = jax.lax.top_k(scores, k)
         boxes = decode_deltas(deltas[idx], anchors[idx])
         boxes = jnp.clip(boxes, 0.0, jnp.asarray([W, H, W, H], jnp.float32))
         all_boxes.append(boxes)
         all_scores.append(top)
-    rpn_boxes = jnp.concatenate(all_boxes)
-    rpn_scores = jnp.concatenate(all_scores)
     proposals, _, prop_valid = greedy_nms(
-        rpn_boxes, rpn_scores, cfg.rpn_post_nms, cfg.rpn_nms_iou
+        jnp.concatenate(all_boxes), jnp.concatenate(all_scores),
+        cfg.rpn_post_nms, cfg.rpn_nms_iou,
     )
+    return proposals, prop_valid
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def detect(params, img, image_hw: tuple, cfg: MaskRCNNConfig):
+    """(H, W, 3) uint8/float image (or (H, W) grayscale, tiled on
+    device — saves 3x host->device bandwidth) -> dict(boxes (K, 4),
+    scores (K,), labels (K,), valid (K,), masks (K, 28, 28) logits)."""
+    H, W = image_hw
+    feats = resnet_fpn(params, normalize_image(img), cfg)
+    proposals, prop_valid = rpn_propose(params, feats, image_hw, cfg)
 
     # box head with FPN level assignment (mmdet SingleRoIExtractor)
     roi_feat = roi_align_fpn(
@@ -420,10 +449,12 @@ def detect(params, img, image_hw: tuple, cfg: MaskRCNNConfig):
 
 
 def _resize_bilinear_np(m: np.ndarray, h: int, w: int) -> np.ndarray:
-    """Pure-numpy bilinear resize (jax.image.resize semantics: sample at
-    pixel centers of the scaled grid). Host-only on purpose — a device
-    resize here would compile a fresh program per box size and pay a
-    relay round trip per instance."""
+    """Pure-numpy point-sampled bilinear resize (half-pixel centers; no
+    antialiasing on downscale — boxes smaller than the 28x28 logit grid
+    are excluded by the reference's min_bb_area=1600 validity filter,
+    detector2d.py:87-100, so the paste path only upsamples in practice).
+    Host-only on purpose — a device resize here would compile a fresh
+    program per box size and pay a relay round trip per instance."""
     sh, sw = m.shape
     y = (np.arange(h) + 0.5) * sh / h - 0.5
     x = (np.arange(w) + 0.5) * sw / w - 0.5

@@ -191,27 +191,12 @@ def _smooth_l1(x, beta=1.0):
 
 
 def loss_fn(params, img, targets, image_hw, cfg: mr.MaskRCNNConfig):
-    H, W = image_hw
-    x = (
-        jnp.asarray(img, jnp.float32) / 255.0
-        - jnp.asarray([0.485, 0.456, 0.406])
-    ) / jnp.asarray([0.229, 0.224, 0.225])
-    feats = mr.resnet_fpn(params, x.transpose(2, 0, 1)[None], cfg)
+    feats = mr.resnet_fpn(params, mr.normalize_image(img), cfg)
 
-    # --- RPN (mirrors the level loop in detect())
-    scores, deltas = [], []
-    for f in feats:
-        h = jnp.maximum(mr._conv2d(f, params["rpn_conv"]), 0.0)
-        cls = mr._conv2d(h, params["rpn_cls"])[0]
-        reg = mr._conv2d(h, params["rpn_reg"])[0]
-        n_anchor = cls.shape[0]
-        hw = cls.shape[-2:]
-        scores.append(cls.transpose(1, 2, 0).reshape(-1))
-        deltas.append(
-            reg.reshape(n_anchor, 4, *hw).transpose(2, 3, 0, 1).reshape(-1, 4)
-        )
-    scores = jnp.concatenate(scores)
-    deltas = jnp.concatenate(deltas)
+    # --- RPN (the same per-level heads + anchor layout as detect())
+    outs = [mr.rpn_level_outputs(params, f) for f in feats]
+    scores = jnp.concatenate([s for s, _ in outs])
+    deltas = jnp.concatenate([d for _, d in outs])
     labels = targets["rpn_labels"]
     pos = (labels == 1).astype(jnp.float32)
     neg = (labels == 0).astype(jnp.float32)
@@ -277,37 +262,10 @@ def _optimizer(lr):
 
 @partial(jax.jit, static_argnums=(2, 3))
 def rpn_proposals(params, img, image_hw, cfg: mr.MaskRCNNConfig):
-    """The live RPN's post-NMS proposals (mirrors the RPN stage of
-    mr.detect): (rpn_post_nms, 4) boxes + (rpn_post_nms,) validity."""
-    H, W = image_hw
-    x = (
-        jnp.asarray(img, jnp.float32) / 255.0
-        - jnp.asarray([0.485, 0.456, 0.406])
-    ) / jnp.asarray([0.229, 0.224, 0.225])
-    feats = mr.resnet_fpn(params, x.transpose(2, 0, 1)[None], cfg)
-    all_boxes, all_scores = [], []
-    for f, stride in zip(feats, (4, 8, 16, 32, 64)):
-        h = jnp.maximum(mr._conv2d(f, params["rpn_conv"]), 0.0)
-        cls = mr._conv2d(h, params["rpn_cls"])[0]
-        reg = mr._conv2d(h, params["rpn_reg"])[0]
-        n_anchor = cls.shape[0]
-        hw = cls.shape[-2:]
-        anchors = mr._level_anchors(hw, stride, cfg)
-        scores = cls.transpose(1, 2, 0).reshape(-1)
-        deltas = (
-            reg.reshape(n_anchor, 4, *hw).transpose(2, 3, 0, 1).reshape(-1, 4)
-        )
-        k = min(cfg.rpn_pre_nms, scores.shape[0])
-        top, idx = jax.lax.top_k(scores, k)
-        boxes = mr.decode_deltas(deltas[idx], jnp.asarray(anchors)[idx])
-        boxes = jnp.clip(boxes, 0.0, jnp.asarray([W, H, W, H], jnp.float32))
-        all_boxes.append(boxes)
-        all_scores.append(top)
-    props, _, valid = mr.greedy_nms(
-        jnp.concatenate(all_boxes), jnp.concatenate(all_scores),
-        cfg.rpn_post_nms, cfg.rpn_nms_iou,
-    )
-    return props, valid
+    """The live RPN's post-NMS proposals (the same mr.rpn_propose stage
+    detect() runs): (rpn_post_nms, 4) boxes + (rpn_post_nms,) validity."""
+    feats = mr.resnet_fpn(params, mr.normalize_image(img), cfg)
+    return mr.rpn_propose(params, feats, image_hw, cfg)
 
 
 def mine_rpn_targets(params, img, gt_boxes, gt_masks, image_hw, cfg):

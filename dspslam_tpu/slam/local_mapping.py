@@ -289,25 +289,6 @@ class LocalMapper:
                     break
 
         M = keyframe_step.MAX_NEIGHBORS
-        # neighbor feats stack ON DEVICE from each keyframe's resident
-        # copy (feats_jax) — the padded host stack used to re-upload up
-        # to M x ~250 KB per keyframe over the relay. Empty slots are
-        # zeros (masked out by nb_ok=0 in the device program).
-        kf_dev = kf.feats_jax()
-        zeros = {k: jnp.zeros_like(v) for k, v in kf_dev.items()}
-        nb_dev = [
-            (neighbors[i].feats_jax() if i < len(neighbors) else zeros)
-            for i in range(M)
-        ]
-        nb_feats = {k: jnp.stack([d[k] for d in nb_dev]) for k in kf_dev}
-        nb_T = np.tile(np.eye(4, dtype=np.float32), (M, 1, 1))
-        nb_has = np.ones((M, N), np.float32)
-        nb_ok = np.zeros(M, np.float32)
-        for i, other in enumerate(neighbors):
-            nb_T[i] = other.T_cw
-            nb_has[i] = (other.map_point_ids >= 0).astype(np.float32)
-            nb_ok[i] = 1.0
-
         # fusion candidates: neighbor map points not yet observed by kf
         neighbor_pts = {}
         for other_id in kf.covisible_keyframes(5):
@@ -333,6 +314,26 @@ class LocalMapper:
         if not neighbors and not n_f:
             return None
 
+        # neighbor feats stack ON DEVICE from each keyframe's resident
+        # copy (feats_jax) — the padded host stack used to re-upload up
+        # to M x ~250 KB per keyframe over the relay. Empty slots are
+        # zeros (masked out by nb_ok=0 in the device program). Built
+        # after the early-out so no-op keyframes cost no relay traffic.
+        kf_dev = kf.feats_jax()
+        zeros = {k: jnp.zeros_like(v) for k, v in kf_dev.items()}
+        nb_dev = [
+            (neighbors[i].feats_jax() if i < len(neighbors) else zeros)
+            for i in range(M)
+        ]
+        nb_feats = {k: jnp.stack([d[k] for d in nb_dev]) for k in kf_dev}
+        nb_T = np.tile(np.eye(4, dtype=np.float32), (M, 1, 1))
+        nb_has = np.ones((M, N), np.float32)
+        nb_ok = np.zeros(M, np.float32)
+        for i, other in enumerate(neighbors):
+            nb_T[i] = other.T_cw
+            nb_has[i] = (other.map_point_ids >= 0).astype(np.float32)
+            nb_ok[i] = 1.0
+
         out = keyframe_step.keyframe_matching(
             kf_dev,           # reuses the on-device copy (no re-upload)
             jnp.asarray(kf.T_cw),
@@ -341,7 +342,7 @@ class LocalMapper:
                 (kf.depth > 0).astype(np.float32)
                 if kf.depth is not None else np.zeros(N, np.float32)
             ),
-            {k: jnp.asarray(v) for k, v in nb_feats.items()},
+            nb_feats,
             jnp.asarray(nb_T), jnp.asarray(nb_has), jnp.asarray(nb_ok),
             jnp.asarray(fuse_pos), jnp.asarray(fuse_valid),
             jnp.asarray(fuse_desc), jnp.zeros(C, jnp.int32),

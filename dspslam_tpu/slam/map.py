@@ -29,6 +29,8 @@ class Frame:
     """Per-frame container (reference Frame.cc): features + stereo depth +
     pose + per-keypoint map-point association."""
 
+    _feats_dev = None  # class default (instances set it in __init__)
+
     _ids = itertools.count()
 
     def __init__(self, timestamp: float, feats: dict, depth=None, u_right=None):
@@ -131,6 +133,9 @@ class MapPoint:
 
 class KeyFrame:
     _ids = itertools.count()
+    # class-level default: KeyFrames minted via __new__ (state_io load)
+    # have no device feature copy
+    _feats_dev = None
 
     def __init__(self, frame: Frame):
         self.id = next(KeyFrame._ids)

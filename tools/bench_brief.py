@@ -147,12 +147,18 @@ def main():
 
     ref = bits(np.asarray(sample(img, xy, ang, pattern, "global")))
     print(f"{h}x{w} nf={args.nf} ({jax.default_backend()})")
+    # exact modes must be bit-identical to the production global gather;
+    # bf16/binned variants change bits by design and only report rates
+    exact = {"global", "flat", "patch", "onehot"}
     for mode in (
         "global", "flat", "patch", "onehot", "onehot_bf16",
         "binned", "binned_onehot",
     ):
         out = bits(np.asarray(sample(img, xy, ang, pattern, mode)))
         mism = (out != ref).mean()
+        assert mode not in exact or mism == 0.0, (
+            f"{mode}: parity failure vs global ({mism:.2e})"
+        )
         ms = _time(lambda: sample(img, xy, ang, pattern, mode))
         print(f"  {mode:12s} {ms:7.2f} ms   bit mismatch {mism:.2e}")
 

@@ -31,46 +31,16 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/dspslam_jax_cache")
 from dspslam_tpu.detect import maskrcnn as mr  # noqa: E402
 
 
-def _norm(img):
-    return (
-        jnp.asarray(img, jnp.float32) / 255.0
-        - jnp.asarray([0.485, 0.456, 0.406])
-    ) / jnp.asarray([0.229, 0.224, 0.225])
-
-
 @partial(jax.jit, static_argnums=(2, 3))
 def backbone(params, img, hw, cfg):
-    feats = mr.resnet_fpn(params, _norm(img).transpose(2, 0, 1)[None], cfg)
+    feats = mr.resnet_fpn(params, mr.normalize_image(img), cfg)
     return [f.sum() for f in feats]
 
 
 @partial(jax.jit, static_argnums=(2, 3))
 def proposals(params, img, hw, cfg):
-    H, W = hw
-    feats = mr.resnet_fpn(params, _norm(img).transpose(2, 0, 1)[None], cfg)
-    all_boxes, all_scores = [], []
-    for f, stride in zip(feats, (4, 8, 16, 32, 64)):
-        h = jnp.maximum(mr._conv2d(f, params["rpn_conv"]), 0.0)
-        cls = mr._conv2d(h, params["rpn_cls"])[0]
-        reg = mr._conv2d(h, params["rpn_reg"])[0]
-        n_anchor = cls.shape[0]
-        shape = cls.shape[-2:]
-        anchors = mr._level_anchors(shape, stride, cfg)
-        scores = cls.transpose(1, 2, 0).reshape(-1)
-        deltas = (
-            reg.reshape(n_anchor, 4, *shape).transpose(2, 3, 0, 1).reshape(-1, 4)
-        )
-        k = min(cfg.rpn_pre_nms, scores.shape[0])
-        top, idx = jax.lax.top_k(scores, k)
-        boxes = mr.decode_deltas(deltas[idx], jnp.asarray(anchors)[idx])
-        all_boxes.append(
-            jnp.clip(boxes, 0.0, jnp.asarray([W, H, W, H], jnp.float32))
-        )
-        all_scores.append(top)
-    props, _, valid = mr.greedy_nms(
-        jnp.concatenate(all_boxes), jnp.concatenate(all_scores),
-        cfg.rpn_post_nms, cfg.rpn_nms_iou,
-    )
+    feats = mr.resnet_fpn(params, mr.normalize_image(img), cfg)
+    props, valid = mr.rpn_propose(params, feats, hw, cfg)
     return props.sum() + valid.sum()
 
 
