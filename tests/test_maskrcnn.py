@@ -44,12 +44,15 @@ class TestRoIAlign:
         feat = jnp.asarray(rng.normal(size=(16, 40, 56)).astype(np.float32))
         x0 = rng.uniform(0, 40, 12)
         y0 = rng.uniform(0, 28, 12)
-        boxes = jnp.asarray(
-            np.stack(
-                [x0, y0, x0 + rng.uniform(2, 14, 12),
-                 y0 + rng.uniform(2, 10, 12)], -1
-            ).astype(np.float32)
-        )
+        boxes = np.stack(
+            [x0, y0, x0 + rng.uniform(2, 14, 12),
+             y0 + rng.uniform(2, 10, 12)], -1
+        ).astype(np.float32)
+        # include boxes spilling past every border (index-clamp path)
+        boxes[-3] = [-5.0, -3.0, 10.0, 8.0]
+        boxes[-2] = [48.0, 32.0, 60.0, 45.0]
+        boxes[-1] = [-4.0, -4.0, 60.0, 44.0]
+        boxes = jnp.asarray(boxes)
         a = np.asarray(mr.roi_align(feat, boxes, 7))
         b = np.asarray(mr.roi_align_matmul(feat, boxes, 7))
         np.testing.assert_allclose(a, b, atol=1e-4)
