@@ -128,6 +128,11 @@ def main():
     mono_f, _ = bench_slam_fps(
         frames=30, extra=("--mono", "--mono_profile", "freiburg")
     )
+    # the reference main loop drops stale frames at the camera rate
+    # (dsp_slam_mono.cc:80-95); record that real-time story too
+    _, paced_info = bench_slam_fps(
+        frames=30, extra=("--mono", "--mono_profile", "freiburg", "--paced")
+    )
     gn_ms = bench_gn()
     print(
         json.dumps(
@@ -145,6 +150,7 @@ def main():
                 "mono_vs_redwood_pacing_15fps": round(mono_r / 15.0, 3),
                 "mono_fps_freiburg": round(mono_f, 2),
                 "mono_vs_freiburg_pacing_25fps": round(mono_f / 25.0, 3),
+                "mono_freiburg_paced_drop_rate": paced_info.get("drop_rate"),
                 "ate_rmse_cm": info.get("ate_rmse_cm"),
                 "relay_upload_ms_466KB": round(relay_ms, 1),
             }
