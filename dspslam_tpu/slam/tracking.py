@@ -294,6 +294,12 @@ class Tracker:
             self._local_cache_dev = tuple(
                 jnp.asarray(a) for a in (cpos, cdesc, clvl, cdist, cval)
             )
+            # object refs aligned with cid rows: _update_point_stats runs
+            # every steady-state frame and the per-point dict lookups are
+            # measurable host time — resolve them once per cache refresh
+            self._local_cache_objs = [
+                self.map.points.get(int(i)) if i >= 0 else None for i in cid
+            ]
             self._local_cache_key = cache_key
         return self._local_cache, self._local_cache_dev
 
@@ -954,14 +960,25 @@ class Tracker:
             & (u >= 0) & (u < self.cfg.width)
             & (v >= 0) & (v < self.cfg.height)
         )
-        tracked = set(
-            int(i) for i in frame.map_point_ids[frame.map_point_ids >= 0]
+        found = np.isin(ids, frame.map_point_ids[frame.map_point_ids >= 0])
+        # steady-state frames pass the cached local pack: use its
+        # pre-resolved object refs (ids[i] == objs[i].id by construction)
+        # instead of ~2k dict lookups per frame; any other ids array
+        # (modular fallback path) resolves through the map
+        cache = getattr(self, "_local_cache", None)
+        objs = (
+            self._local_cache_objs
+            if cache is not None and ids is cache[0]
+            else None
         )
         for i in np.nonzero(vis)[0]:
-            p = self.map.points.get(int(ids[i]))
+            p = (
+                objs[i] if objs is not None
+                else self.map.points.get(int(ids[i]))
+            )
             if p is not None:
                 p.n_visible += 1
-                if p.id in tracked:
+                if found[i]:
                     p.n_found += 1
 
     def _need_new_keyframe(self, frame: Frame) -> bool:
