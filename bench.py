@@ -57,7 +57,9 @@ def _emit_results():
         if _EMITTED:
             return False
         _EMITTED = True
-    print(json.dumps(RESULTS), flush=True)
+        # snapshot first: the other thread may still be filling RESULTS
+        # (dict(d) is atomic under the GIL; dumps on a live dict is not)
+        print(json.dumps(dict(RESULTS)), flush=True)
     return True
 
 
@@ -170,28 +172,38 @@ def main():
 def _measure():
     relay_ms = probe_relay()
     RESULTS["relay_upload_ms_466KB"] = round(relay_ms, 1)
+
+    def record_headline(fps, info):
+        RESULTS.update(
+            value=round(fps, 2),
+            vs_baseline=round(fps / 10.0, 3),
+            workload=info.get("workload"),
+            median_fps=info.get("median_fps"),
+            turn_deg=info.get("turn_deg"),
+            ate_rmse_cm=info.get("ate_rmse_cm"),
+        )
+
     fps, info = bench_slam_fps()
+    record_headline(fps, info)  # immediately: a later wedge keeps this
     # The relay can slip into a ~40x-degraded window mid-run (CLAUDE.md),
     # cratering the measured fps for infrastructure, not workload,
     # reasons. If the headline missed target AND the link is now sick,
     # wait for a healthy window and re-measure once — both attempts are
-    # recorded, the better one is the headline.
+    # recorded, the better one is the headline, and
+    # relay_upload_ms_466KB always labels the CHOSEN attempt's window.
     post_ms = _upload_ms()
     if fps < 10.5 and post_ms > 45.0:
         RESULTS["fps_degraded_attempt"] = round(fps, 2)
         RESULTS["relay_after_attempt_ms"] = round(post_ms, 1)
-        RESULTS["relay_upload_ms_466KB"] = round(probe_relay(), 1)
+        retry_relay_ms = probe_relay()
         fps2, info2 = bench_slam_fps()
         if fps2 > fps:
             fps, info = fps2, info2
-    RESULTS.update(
-        value=round(fps, 2),
-        vs_baseline=round(fps / 10.0, 3),
-        workload=info.get("workload"),
-        median_fps=info.get("median_fps"),
-        turn_deg=info.get("turn_deg"),
-        ate_rmse_cm=info.get("ate_rmse_cm"),
-    )
+            record_headline(fps, info)
+            RESULTS["relay_upload_ms_466KB"] = round(retry_relay_ms, 1)
+        else:
+            RESULTS["fps_retry_attempt"] = round(fps2, 2)
+            RESULTS["relay_retry_probe_ms"] = round(retry_relay_ms, 1)
     mono_r, _ = bench_slam_fps(
         frames=30, extra=("--mono", "--mono_profile", "redwood")
     )

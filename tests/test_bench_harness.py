@@ -69,6 +69,50 @@ def test_degraded_first_attempt_retries_and_records_both():
     assert out["value"] == 11.2 and out["median_fps"] == 17.0
     assert out["fps_degraded_attempt"] == 6.4
     assert out["relay_after_attempt_ms"] == 900.0
+    assert out["relay_upload_ms_466KB"] == 22.0  # the winning attempt's window
+
+
+def test_retry_that_loses_keeps_first_headline_and_records_retry():
+    m = _load_bench()
+    probes = iter([21.0, 23.0])
+    m.probe_relay = lambda max_wait_s=600.0: next(probes)
+    m._upload_ms = lambda: 900.0
+    fps_seq = iter(
+        [(6.4, _info(median_fps=7.0)), (5.8, _info(median_fps=6.0)),
+         (20.0, _info()), (12.0, _info()), (12.0, _info(drop_rate=0.2))]
+    )
+    m.bench_slam_fps = lambda frames=40, extra=(): next(fps_seq)
+    m.bench_gn = lambda: 7.7
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        m.main()
+    out = json.loads(buf.getvalue())
+    assert out["value"] == 6.4 and out["median_fps"] == 7.0
+    assert out["fps_retry_attempt"] == 5.8
+    assert out["relay_retry_probe_ms"] == 23.0
+    assert out["relay_upload_ms_466KB"] == 21.0  # first attempt's window
+
+
+def test_wedge_after_headline_keeps_the_measured_fps():
+    m = _load_bench()
+    m.probe_relay = lambda max_wait_s=600.0: 21.0
+    m.bench_slam_fps = lambda frames=40, extra=(): (16.0, _info())
+    m.bench_gn = lambda: 7.7
+
+    def wedge():
+        raise RuntimeError("simulated wedge at the post-headline probe")
+
+    m._upload_ms = wedge
+    buf = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf):
+            m.main()
+    except RuntimeError:
+        pass
+    out = json.loads(buf.getvalue())
+    # the headline measured BEFORE the wedge survives into the line
+    assert out["value"] == 16.0 and out["vs_baseline"] == 1.6
+    assert out["error"].startswith("RuntimeError")
 
 
 def test_slow_but_healthy_does_not_retry():

@@ -30,7 +30,12 @@ from dspslam_tpu.detect import pointpillars as pp  # noqa: E402
 
 
 def _sync(x):
-    np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
+    """Await EVERY buffer in the tree with one tiny fetch: a device-side
+    reduce over all leaves depends on all of them (independent
+    device_puts in the upload stage do not complete together), and the
+    single-element fetch avoids paying a download per leaf."""
+    leaves = jax.tree.leaves(x)
+    np.asarray(sum(jnp.ravel(a)[:1].astype(jnp.float32)[0] for a in leaves))
 
 
 def _time(fn, iters=10):
