@@ -29,11 +29,11 @@ import optax
 from .pointpillars import (
     PointPillarsConfig,
     _anchors,
-    build_pillars_device,
+    build_pillars_from_points,
+    crop_quantize_points,
     decode_boxes,
     forward,
     init_params,
-    pillarize_sparse,
 )
 
 
@@ -43,7 +43,11 @@ def small_config() -> PointPillarsConfig:
     return PointPillarsConfig(
         pc_range=(0.0, -15.36, -3.0, 30.72, 15.36, 1.0),
         voxel_size=(0.32, 0.32, 4.0),
-        max_pillars=3000,
+        # generated scenes occupy ~3.5k pillars, mostly singletons: the
+        # cap must hold them ALL or the densest-first selection breaks
+        # count ties differently per assignment path and the training
+        # signal gains pillar-dropout noise
+        max_pillars=4096,
         backbone_layers=(2, 2, 2),
         backbone_channels=(32, 64, 128),
         fpn_channels=(64, 64, 64),
@@ -140,7 +144,7 @@ def loss_fn(params, pillars, cls_t, reg_t, dir_t, cfg):
 
 @partial(jax.jit, static_argnums=(4, 5), donate_argnums=(0, 1))
 def train_step(params, opt_state, pillars_sparse, targets, cfg, optimizer):
-    pillars = build_pillars_device(pillars_sparse, cfg)
+    pillars = build_pillars_from_points(pillars_sparse, cfg)
     cls_t, reg_t, dir_t = targets
 
     loss, grads = jax.value_and_grad(loss_fn)(
@@ -221,7 +225,7 @@ def fit_synthetic(
     if n_scenes:
         for _ in range(n_scenes):
             scan, gt = make_box_scene(rng, cfg, n_boxes=n_boxes)
-            sp = pillarize_sparse(scan, cfg, point_cap=16384)
+            sp = crop_quantize_points(scan, cfg, point_cap=16384)
             scenes.append((
                 {k: jnp.asarray(v) for k, v in sp.items()},
                 tuple(jnp.asarray(t) for t in assign_targets(anchors, gt)),
@@ -234,7 +238,7 @@ def fit_synthetic(
             scan, gt = make_box_scene(rng, cfg, n_boxes=n_boxes)
             sp = {
                 k: jnp.asarray(v)
-                for k, v in pillarize_sparse(
+                for k, v in crop_quantize_points(
                     scan, cfg, point_cap=16384
                 ).items()
             }
@@ -261,7 +265,7 @@ def overfit_scene(cfg: PointPillarsConfig, steps: int = 320, seed: int = 0):
     scan, gt = make_box_scene(rng, cfg, n_boxes=3)
     sp = {
         k: jnp.asarray(v)
-        for k, v in pillarize_sparse(scan, cfg, point_cap=16384).items()
+        for k, v in crop_quantize_points(scan, cfg, point_cap=16384).items()
     }
     targets = tuple(jnp.asarray(t) for t in assign_targets(anchors, gt))
     optimizer = optax.adam(3e-3)

@@ -256,3 +256,134 @@ class TestSparsePillarize:
             {k: jnp.asarray(v) for k, v in sp.items()}, CFG
         )
         assert np.isfinite(np.asarray(built["features"])).all()
+
+
+class TestDeviceAssignment:
+    """build_pillars_from_points (on-device sort/segment/top-k pillar
+    assignment) vs the host pillarize_sparse + build_pillars_device
+    reference path."""
+
+    @staticmethod
+    def _canvas(pil, cfg):
+        """Scatter pillar tensors onto the BEV grid keyed by coords —
+        slot order is irrelevant to the network, so parity is defined
+        at canvas level (forward() consumes exactly this scatter)."""
+        nx, ny = cfg.grid_size
+        feats = np.zeros((ny, nx, cfg.max_points_per_pillar, 10), np.float32)
+        mask = np.zeros((ny, nx, cfg.max_points_per_pillar), np.float32)
+        c = np.asarray(pil["coords"])
+        pm = np.asarray(pil["pillar_mask"])
+        f = np.asarray(pil["features"])
+        m = np.asarray(pil["mask"])
+        for j in range(len(c)):
+            if pm[j] > 0:
+                feats[c[j, 1], c[j, 0]] = f[j]
+                mask[c[j, 1], c[j, 0]] = m[j]
+        return feats, mask
+
+    def test_matches_host_path_exactly_under_cap(self):
+        scan = car_scan(centers=((8.0, 2.0), (14.0, -4.0)))
+        # the host path assigns pillars from float coords, the device
+        # path from the 2 mm-quantized transport values: points within
+        # quantization distance of a voxel edge can legitimately land
+        # one cell over. Exact parity is defined away from edges.
+        fx = (scan[:, 0] - CFG.pc_range[0]) / CFG.voxel_size[0] % 1.0
+        fy = (scan[:, 1] - CFG.pc_range[1]) / CFG.voxel_size[1] % 1.0
+        margin = 0.01
+        scan = scan[
+            (fx > margin) & (fx < 1 - margin)
+            & (fy > margin) & (fy < 1 - margin)
+        ]
+        # exact parity needs every occupied pillar kept (past the cap
+        # both paths keep the densest P but break count TIES freely)
+        cfg = pp.PointPillarsConfig(
+            pc_range=CFG.pc_range, voxel_size=CFG.voxel_size,
+            max_pillars=4096, max_points_per_pillar=CFG.max_points_per_pillar,
+        )
+        host = pp.build_pillars_device(
+            {k: jnp.asarray(v) for k, v in pp.pillarize_sparse(scan, cfg).items()},
+            cfg,
+        )
+        dev = pp.build_pillars_from_points(
+            {k: jnp.asarray(v)
+             for k, v in pp.crop_quantize_points(scan, cfg).items()},
+            cfg,
+        )
+        assert float(np.asarray(host["pillar_mask"]).sum()) < cfg.max_pillars
+        fh, mh = self._canvas(host, cfg)
+        fd, md = self._canvas(dev, cfg)
+        np.testing.assert_array_equal(mh, md)
+        np.testing.assert_allclose(fh, fd, atol=1e-5)
+        assert float(np.asarray(dev["pillar_mask"]).sum()) == float(
+            np.asarray(host["pillar_mask"]).sum()
+        )
+
+    def test_pillar_cap_keeps_densest(self):
+        # more occupied pillars than max_pillars: the kept set must be
+        # the densest ones (count ties may fall either way)
+        cfg = pp.PointPillarsConfig(
+            pc_range=CFG.pc_range, voxel_size=CFG.voxel_size,
+            max_pillars=8, max_points_per_pillar=16,
+        )
+        rng = np.random.default_rng(3)
+        # 20 pillars with strictly increasing point counts 1..20
+        pts = []
+        for i in range(20):
+            cx = 0.16 + 0.32 * i
+            n = i + 1
+            pts.append(np.concatenate([
+                np.stack([np.full(n, cx), np.full(n, 0.16),
+                          np.full(n, -1.0)], -1)
+                + rng.uniform(-0.05, 0.05, (n, 3)),
+                np.ones((n, 1)),
+            ], -1))
+        scan = np.concatenate(pts).astype(np.float32)
+        dev = pp.build_pillars_from_points(
+            {k: jnp.asarray(v)
+             for k, v in pp.crop_quantize_points(scan, cfg).items()},
+            cfg,
+        )
+        kept_ix = sorted(np.asarray(dev["coords"])[:, 0].tolist())
+        assert kept_ix == list(range(12, 20))  # the 8 densest pillars
+        # kept points respect the per-pillar cap
+        want = sum(min(c, cfg.max_points_per_pillar) for c in range(13, 21))
+        assert float(np.asarray(dev["mask"]).sum()) == want
+
+    def test_empty_scan(self):
+        dev = pp.build_pillars_from_points(
+            {k: jnp.asarray(v)
+             for k, v in pp.crop_quantize_points(
+                 np.zeros((0, 4), np.float32), CFG).items()},
+            CFG,
+        )
+        assert float(np.asarray(dev["pillar_mask"]).sum()) == 0.0
+        assert float(np.asarray(dev["mask"]).sum()) == 0.0
+
+    def test_points_per_pillar_cap_keeps_scan_order(self):
+        # one pillar with 3x the per-pillar cap: first M in scan order kept
+        n = CFG.max_points_per_pillar * 3
+        scan = np.concatenate([
+            np.stack([np.full(n, 5.01), np.full(n, 0.01),
+                      np.linspace(-2.9, 0.9, n)], -1),
+            np.linspace(0, 1, n)[:, None],
+        ], -1).astype(np.float32)
+        dev = pp.build_pillars_from_points(
+            {k: jnp.asarray(v)
+             for k, v in pp.crop_quantize_points(scan, CFG).items()},
+            CFG,
+        )
+        m = np.asarray(dev["mask"])
+        assert float(m.sum()) == CFG.max_points_per_pillar
+        slot = int(np.asarray(dev["pillar_mask"]).argmax())
+        f = np.asarray(dev["features"])[slot]
+        # z of kept points = the FIRST M scan points' z (2 mm quantized)
+        want = np.round(
+            np.linspace(-2.9, 0.9, n)[: CFG.max_points_per_pillar] / 0.002
+        ) * 0.002
+        np.testing.assert_allclose(f[:, 2], want, atol=1e-5)
+
+    def test_detector_api_device_assign_runs(self):
+        det = pp.Detector3D(cfg=CFG)
+        assert det.device_assign
+        boxes = det.make_prediction(car_scan())
+        assert boxes.ndim == 2 and boxes.shape[1] == 7

@@ -100,6 +100,26 @@ def main():
         print(f"  {name:15s} {ms:7.2f} ms  (+{ms - prev:7.2f})")
         prev = ms
 
+    # the production path: device pillar assignment (points-only upload)
+    pts_host = pp.crop_quantize_points(pts, cfg)
+    ms = _time(lambda: pp.crop_quantize_points(pts, cfg), args.iters)
+    print(f"  crop+quant(host){ms:7.2f} ms  "
+          f"({sum(v.nbytes for v in pts_host.values() if hasattr(v, 'nbytes'))/1e3:.0f} KB "
+          f"vs {sum(v.nbytes for v in sparse_host.values() if hasattr(v, 'nbytes'))/1e3:.0f} KB sparse)")
+
+    def upload_pts():
+        d = {k: jax.device_put(v) for k, v in pts_host.items()}
+        _sync(d)
+        return d
+
+    pts_dev = upload_pts()
+    ms = _time(upload_pts, args.iters)
+    print(f"  upload(points)  {ms:7.2f} ms")
+    ms = _time(lambda: _sync(
+        det._run_points(det.params, pts_dev, det.anchors)
+    ), args.iters)
+    print(f"  full(dev-assign){ms:7.2f} ms")
+
 
 if __name__ == "__main__":
     main()
