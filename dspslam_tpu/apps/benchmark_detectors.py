@@ -4,7 +4,7 @@ The reference prints per-frame detector timings inline
 (kitti_sequence.py:101-109 for Mask R-CNN, :162-167 for the 3D
 detector); this measures the same thing for the from-scratch JAX
 detectors — PointPillars on a synthetic 120k-point LiDAR scan (host
-pillarization + device network) and Mask R-CNN ResNet50-FPN at KITTI
+crop+quantize + on-device pillar assignment + network) and Mask R-CNN ResNet50-FPN at KITTI
 resolution. Random weights: latency is architecture-, not
 weight-dependent.
 
@@ -38,6 +38,9 @@ def synthetic_scan(n: int = 120_000, seed: int = 0) -> np.ndarray:
 
 
 def bench_pointpillars(iters: int):
+    """The production path: host crop+quantize, points-only upload,
+    whole-network jit with ON-DEVICE pillar assignment (Detector3D
+    defaults), synced by the boxes fetch."""
     from ..detect import pointpillars as pp
 
     det = pp.Detector3D()
@@ -46,21 +49,11 @@ def bench_pointpillars(iters: int):
     t_total, t_host = [], []
     for _ in range(iters):
         t0 = time.perf_counter()
-        sp = pp.pillarize_sparse(scan, det.cfg)
-        t1 = time.perf_counter()
-        import jax.numpy as jnp
-
-        pil_j = pp.build_pillars_device(
-            {k: jnp.asarray(v) for k, v in sp.items()}, det.cfg
-        )
-        cls, deltas, dirs = pp.forward(det.params, pil_j, det.cfg)
-        boxes = pp.decode_boxes(deltas, det.anchors)
-        out_boxes, scores, valid = pp.select_detections(
-            cls, boxes, dirs, det.cfg
-        )
-        np.asarray(out_boxes)                         # sync
+        det.collect(det.dispatch(scan))               # crop+upload+net+fetch
         t_total.append(time.perf_counter() - t0)
-        t_host.append(t1 - t0)
+        t1 = time.perf_counter()
+        pp.crop_quantize_points(scan, det.cfg)        # host share, measured alone
+        t_host.append(time.perf_counter() - t1)
     return float(np.median(t_total)) * 1e3, float(np.median(t_host)) * 1e3
 
 
@@ -94,7 +87,7 @@ def main(argv=None):
     mr_ms = bench_maskrcnn(args.iters)
     print(json.dumps({
         "pointpillars_ms_per_scan": round(pp_ms, 2),
-        "pointpillars_host_pillarize_ms": round(pp_host_ms, 2),
+        "pointpillars_host_crop_ms": round(pp_host_ms, 2),
         "maskrcnn_ms_per_frame": round(mr_ms, 2),
     }))
     return pp_ms, mr_ms
