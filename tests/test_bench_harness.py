@@ -116,13 +116,15 @@ def test_wedge_after_headline_keeps_the_measured_fps():
 
 
 def test_slow_but_healthy_does_not_retry():
+    # healthy link AND median ~ mean: the slow fps is the honest
+    # workload number, not a relay artifact — no retry
     m = _load_bench()
     calls = []
     m.probe_relay = lambda max_wait_s=600.0: 21.0
-    m._upload_ms = lambda: 20.0  # healthy: a slow fps is the honest number
+    m._upload_ms = lambda: 20.0
     def fake(frames=40, extra=()):
         calls.append(extra)
-        return 8.0, _info()
+        return 8.0, _info(median_fps=8.4)
     m.bench_slam_fps = fake
     m.bench_gn = lambda: 7.7
     buf = io.StringIO()
@@ -131,6 +133,28 @@ def test_slow_but_healthy_does_not_retry():
     out = json.loads(buf.getvalue())
     assert out["value"] == 8.0 and "fps_degraded_attempt" not in out
     assert len(calls) == 4  # headline + 2 mono + paced, no retry
+
+
+def test_stall_poisoned_mean_retries_even_with_healthy_post_probe():
+    # a transient mid-run relay stall craters the mean while the median
+    # stays at workload speed (observed: median 9.8 vs mean 0.58) and
+    # the link probes healthy again afterwards — that signature retries
+    m = _load_bench()
+    probes = iter([21.0, 22.0])
+    m.probe_relay = lambda max_wait_s=600.0: next(probes)
+    m._upload_ms = lambda: 20.0  # healthy post-probe
+    fps_seq = iter(
+        [(0.6, _info(median_fps=9.8)), (11.0, _info(median_fps=17.0)),
+         (20.0, _info()), (12.0, _info()), (12.0, _info(drop_rate=0.2))]
+    )
+    m.bench_slam_fps = lambda frames=40, extra=(): next(fps_seq)
+    m.bench_gn = lambda: 7.7
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        m.main()
+    out = json.loads(buf.getvalue())
+    assert out["value"] == 11.0 and out["fps_degraded_attempt"] == 0.6
+    assert out["relay_upload_ms_466KB"] == 22.0
 
 
 def test_exception_mid_run_still_emits_partial_line():

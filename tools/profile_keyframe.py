@@ -22,6 +22,8 @@ def wrap(obj, name, label=None):
         times[lab].append(time.perf_counter() - t0)
         return out
 
+    if isinstance(obj.__dict__.get(name), staticmethod):
+        wrapped = staticmethod(wrapped)
     setattr(obj, name, wrapped)
 
 
@@ -30,19 +32,30 @@ def main():
     from dspslam_tpu.slam.local_mapping import LocalMapper
     from dspslam_tpu.objects.pipeline import ObjectPipeline
 
-    for name in ("_cull_points", "_create_new_points", "_fuse_duplicates",
-                 "local_bundle_adjust", "_cull_keyframes", "process"):
+    for name in ("_cull_points", "_dispatch_triangulate",
+                 "_apply_triangulate", "dispatch_bundle_adjust",
+                 "_apply_bundle_adjust", "_cull_keyframes", "process",
+                 "poll"):
         wrap(LocalMapper, name)
-    for name in ("_measure_associated", "_reconstruct_new", "_cull_objects",
-                 "process_keyframe"):
+    for name in ("_dispatch_measure", "_apply_measure", "_dispatch_recon",
+                 "_apply_recon", "_cull_objects", "process_keyframe",
+                 "dispatch_keyframe", "apply_keyframe", "collect_meshes"):
         wrap(ObjectPipeline, name, f"obj.{name}")
 
-    import sys
-    B.main(["--frames", "20"])
+    from dspslam_tpu.detect.maskrcnn import Detector2D
+    from dspslam_tpu.detect.pointpillars import Detector3D
+    wrap(Detector3D, "dispatch", "det3d.dispatch")
+    wrap(Detector3D, "collect", "det3d.collect")
+    wrap(Detector2D, "dispatch", "det2d.dispatch")
+    wrap(Detector2D, "collect", "det2d.collect")
+    wrap(B.DetectorChannel, "__call__", "detector_channel")
+
+    B.main(["--frames", "24"])
     print("\n=== keyframe stage profile (ms) ===")
     for k in sorted(times, key=lambda k: -float(np.sum(times[k]))):
         v = np.asarray(times[k]) * 1e3
-        print(f"{k:28s} n={len(v):3d} mean={v.mean():8.1f} max={v.max():8.1f} "
+        print(f"{k:28s} n={len(v):3d} med={np.median(v):8.1f} "
+              f"mean={v.mean():8.1f} max={v.max():8.1f} "
               f"total={v.sum():8.0f}")
 
 
