@@ -66,13 +66,17 @@ STEP = 0.3
 TURN_DEG = 30.0
 
 
-def build_world(seed=0, x_max=40.0, turn=True):
+def build_world(seed=0, x_max=40.0, turn=True, z_travel=15.0):
     if turn:
+        # canvas must cover the camera's full z travel (render_pose
+        # requires z within z_range); x reach through a 30-degree turn
+        # grows ~ z_travel * sin(30 deg)
+        x_reach = max(9.0, 3.5 + z_travel * np.sin(np.radians(TURN_DEG)))
         return LayeredWorld(
             W, H, FX, cx=CX, cy=CY, depths=(55.0, 35.0, 20.0),
             coverage=(1.0, 0.30, 0.20), ground_height=1.65,
-            max_ground_depth=55.0, x_range=(-2.0, 9.0), seed=seed,
-            yaw_max=np.radians(TURN_DEG + 6.0), z_range=(0.0, 15.0),
+            max_ground_depth=55.0, x_range=(-2.0, x_reach), seed=seed,
+            yaw_max=np.radians(TURN_DEG + 6.0), z_range=(0.0, z_travel),
         )
     return LayeredWorld(
         W, H, FX, cx=CX, cy=CY, depths=(25.0, 12.0, 7.0),
@@ -310,7 +314,8 @@ def main(argv=None):
     if args.frames <= args.warmup:
         args.warmup = max(args.frames // 2, 1)
     traj = make_benchmark_trajectory(args.frames + 1)
-    world = build_world(turn=True)
+    world = build_world(turn=True,
+                        z_travel=STEP * (args.frames + 2) + 1.0)
     spheres_w = place_spheres(traj)
     rng = np.random.default_rng(1)
 
