@@ -401,6 +401,12 @@ def main(argv=None):
         _ = det2d.make_prediction(jax.device_put(host_imgs[0][0]))
         print(f"detector warmup: {time.perf_counter() - t0:.1f} s")
 
+    # local-BA bucket warmup: point density crosses compile buckets
+    # mid-run (2048 -> 4096 at bench density); compile them all now
+    t0 = time.perf_counter()
+    system.local_mapper.warmup_ba_buckets(with_objects=not args.no_objects)
+    print(f"BA bucket warmup: {time.perf_counter() - t0:.1f} s")
+
     times = []
     pair = upload(0)
     for k in range(args.frames):

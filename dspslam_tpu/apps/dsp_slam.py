@@ -133,11 +133,10 @@ def main(argv=None):
     if args.vocabulary and os.path.exists(args.vocabulary):
         from ..place.vocabulary import Vocabulary
 
-        data = np.load(args.vocabulary)
-        voc = Vocabulary(
-            int(data["branching"]), int(data["levels"]),
-            data["centers"], data["word_weights"],
-        )
+        # .npz (self-trained) or the reference's pretrained DBoW2
+        # ORBvoc.bin/.txt (System.cc:76-87; use the matching
+        # ORB.pattern=reference setting for bit compatibility)
+        voc = Vocabulary.load_any(args.vocabulary)
 
     system = build_system(
         system_cfg, seq,

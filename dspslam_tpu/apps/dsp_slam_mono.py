@@ -90,15 +90,10 @@ def main(argv=None):
         detection_source=detection_source,
     )
     if args.vocabulary and os.path.exists(args.vocabulary):
-        import numpy as np
-
         from ..place.vocabulary import Vocabulary
 
-        data = np.load(args.vocabulary)
-        system.attach_vocabulary(Vocabulary(
-            int(data["branching"]), int(data["levels"]),
-            data["centers"], data["word_weights"],
-        ))
+        # .npz (self-trained) or DBoW2 ORBvoc.bin/.txt (System.cc:76-87)
+        system.attach_vocabulary(Vocabulary.load_any(args.vocabulary))
 
     n = args.frames or seq.num_frames
     timer = StageTimer()

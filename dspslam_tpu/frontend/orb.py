@@ -16,11 +16,12 @@ fixed-shape tensor programs:
   (ORBextractor.cc:436-447);
 * orientation and descriptors gather 31x31 patches for the selected
   (static-K) keypoints only;
-* the 256 rBRIEF test pairs are generated from a seeded Gaussian
-  (sigma = patch/5, the classic BRIEF recipe) instead of OpenCV's
-  learned table; vocabulary/matching layers in this framework are
-  trained for this pattern, so cross-library bit compatibility is not
-  required.
+* the 256 rBRIEF test pairs default to a seeded Gaussian (sigma =
+  patch/5, the classic BRIEF recipe); vocabulary/matching layers in
+  this framework are trained for that pattern. ORBParams(
+  pattern="reference") instead loads OpenCV's learned table
+  (orb_pattern.py) for bit compatibility with OpenCV descriptors and
+  the pretrained DBoW2 ORBvoc vocabulary (place/orbvoc.py).
 
 All outputs are padded to static caps with validity masks.
 """
@@ -57,7 +58,13 @@ class ORBParams:
     min_threshold: float = 7.0
     cell_size: int = 16          # top-k bin size in pixels
     per_cell: int = 4            # candidates kept per cell
-    seed: int = 1234             # BRIEF pattern seed
+    seed: int = 1234             # BRIEF pattern seed (pattern="seeded")
+    # BRIEF test-pair table: "seeded" draws the classic Gaussian pattern
+    # (self-consistent within this framework); "reference" uses OpenCV's
+    # learned 512-point table (orb_pattern.py) for bit compatibility
+    # with OpenCV-extracted descriptors and the pretrained DBoW2 ORBvoc
+    # vocabulary (ORBextractor.cc:151-410 pattern, System.cc:76-87 load)
+    pattern: str = "seeded"
     # FAST detector backend: "auto" picks the Pallas kernel on TPU for
     # level shapes in its measured win regime (tools/bench_pallas.py on
     # v5e-lite: 1.93x at 480x640, ~tie at 376x1241, loses at 540x960 —
@@ -101,6 +108,15 @@ def brief_pattern(seed: int = 1234, n_pairs: int = 256) -> np.ndarray:
     pts = rng.normal(0.0, sigma, size=(n_pairs, 2, 2))
     pts = np.clip(np.round(pts), -(HALF_PATCH - 2), HALF_PATCH - 2)
     return pts.astype(np.int32)
+
+
+def pattern_for(params: "ORBParams") -> np.ndarray:
+    """Resolve the test-pair table for an ORBParams (see .pattern)."""
+    if params.pattern == "reference":
+        from .orb_pattern import reference_pattern
+
+        return reference_pattern()
+    return brief_pattern(params.seed)
 
 
 # ---------------------------------------------------------------------------
@@ -412,7 +428,7 @@ def extract(img: jnp.ndarray, params: ORBParams = ORBParams()):
     img = img.astype(jnp.float32)
     budgets = params.features_per_level()
     scales = params.level_scales()
-    pattern = jnp.asarray(brief_pattern(params.seed))
+    pattern = jnp.asarray(pattern_for(params))
 
     outs = {k: [] for k in ("xy", "response", "angle", "level", "sigma2", "desc", "valid")}
     level_img = img

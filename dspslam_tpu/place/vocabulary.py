@@ -57,10 +57,19 @@ class Vocabulary:
     levels: int
     centers: np.ndarray       # (n_internal_nodes_padded, 8) packed by level
     word_weights: np.ndarray  # (n_words,) idf
+    # Non-complete trees (ingested DBoW2 vocabularies, place/orbvoc.py):
+    # `valid` masks the complete-array slots that hold a real node (an
+    # invalid slot can never win the descent argmin), and `leaf_word`
+    # maps bottom-level slots to DBoW2 word ids (words are assigned in
+    # file order there, and early leaves — nodes with < K children —
+    # are words above the bottom level). None for self-trained
+    # vocabularies, whose trees are complete by construction.
+    valid: np.ndarray | None = None       # (n_nodes,) float32/bool
+    leaf_word: np.ndarray | None = None   # (K**L,) int32, -1 = no word
 
     @property
     def n_words(self) -> int:
-        return self.branching**self.levels
+        return len(self.word_weights)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -115,9 +124,13 @@ class Vocabulary:
         return voc
 
     def save(self, path: str):
+        extras = {}
+        if self.valid is not None:
+            extras["valid"] = self.valid
+            extras["leaf_word"] = self.leaf_word
         np.savez_compressed(
             path, branching=self.branching, levels=self.levels,
-            centers=self.centers, word_weights=self.word_weights,
+            centers=self.centers, word_weights=self.word_weights, **extras,
         )
 
     @staticmethod
@@ -126,17 +139,37 @@ class Vocabulary:
         return Vocabulary(
             int(data["branching"]), int(data["levels"]),
             np.asarray(data["centers"]), np.asarray(data["word_weights"]),
+            np.asarray(data["valid"]) if "valid" in data else None,
+            np.asarray(data["leaf_word"]) if "leaf_word" in data else None,
         )
+
+    @staticmethod
+    def load_any(path: str) -> "Vocabulary":
+        """Load a vocabulary by extension: .npz (this framework's
+        trained format) or DBoW2 ORBvoc .bin/.txt (the reference's
+        pretrained vocabulary, System.cc:76-87; requires
+        ORBParams(pattern="reference") for matching descriptor bits)."""
+        if path.endswith(".bin") or path.endswith(".txt"):
+            from .orbvoc import load_orbvoc
+
+            return load_orbvoc(path)
+        return Vocabulary.load(path)
 
     # ------------------------------------------------------------------
     def assign_words(self, descriptors: np.ndarray) -> np.ndarray:
         """(N, 8) -> (N,) word ids, batched tree descent."""
-        return np.asarray(
-            _assign_words_jit(
+        if self.valid is None:
+            leaves = _assign_words_jit(
                 jnp.asarray(descriptors), jnp.asarray(self.centers),
                 self.branching, self.levels,
             )
+            return np.asarray(leaves)
+        leaves = _assign_words_masked_jit(
+            jnp.asarray(descriptors), jnp.asarray(self.centers),
+            jnp.asarray(self.valid, jnp.float32),
+            self.branching, self.levels,
         )
+        return self.leaf_word[np.asarray(leaves)]
 
     def bow_vector(self, descriptors: np.ndarray, valid=None) -> "BowVector":
         """Sparse tf-idf BoW vector, L1-normalized."""
@@ -183,6 +216,29 @@ def _assign_words_jit(descs, centers, branching, levels):
         cents = centers[idx]                                # (n, K, 8)
         x = jnp.bitwise_xor(descs[:, None, :], cents)
         d = jnp.sum(jax.lax.population_count(x), axis=-1)   # (n, K)
+        node = node * K + jnp.argmin(d, axis=-1).astype(jnp.int32)
+        offset += K ** (level + 1)
+    return node
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _assign_words_masked_jit(descs, centers, valid, branching, levels):
+    """Tree descent over a non-complete tree: invalid child slots take a
+    +1024 distance penalty (> any 256-bit Hamming distance) so the argmin
+    always lands on a real child; ties break toward the lowest slot,
+    which preserves DBoW2's first-child-wins scan order (children are
+    packed in file order by place/orbvoc.py)."""
+    K = branching
+    n = descs.shape[0]
+    node = jnp.zeros((n,), jnp.int32)
+    offset = 0
+    for level in range(levels):
+        child_base = offset + node * K
+        idx = child_base[:, None] + jnp.arange(K)[None, :]
+        cents = centers[idx]
+        x = jnp.bitwise_xor(descs[:, None, :], cents)
+        d = jnp.sum(jax.lax.population_count(x), axis=-1)
+        d = d + (1024 * (1.0 - valid[idx])).astype(d.dtype)
         node = node * K + jnp.argmin(d, axis=-1).astype(jnp.int32)
         offset += K ** (level + 1)
     return node

@@ -22,10 +22,26 @@ from .map import KeyFrame, Map
 
 BA_KF_CAP = 16          # free window keyframes + fixed observers
 BA_WINDOW = 8           # optimized keyframes
-BA_PT_CAP = 3072
-BA_OBS_CAP = 12288
+# Point-count compile buckets: the solve shape grows with the window's
+# density so dense maps optimize EVERY point (the reference's local BA is
+# unbounded, Optimizer_util.cc:309-430) while sparse windows keep small,
+# cheap programs. Each bucket is one XLA compile (pre-warmed by
+# warmup_ba_buckets); observations scale 4x points (the empirical
+# obs/point ratio of a BA_KF_CAP window).
+BA_PT_BUCKETS = (1024, 2048, 4096, 8192)
+BA_PT_CAP = BA_PT_BUCKETS[-1]     # hard cap: truncation warning beyond
+BA_OBS_PER_PT = 4
 BA_OBJ_CAP = 8
 BA_EDGE_CAP = 32
+
+
+def ba_point_bucket(n: int) -> int:
+    """Smallest compile bucket holding n points (the pow2-bucket pattern
+    of objects/pipeline.py); the last bucket is the truncation cap."""
+    for b in BA_PT_BUCKETS:
+        if n <= b:
+            return b
+    return BA_PT_BUCKETS[-1]
 
 
 @dataclasses.dataclass
@@ -230,6 +246,49 @@ class LocalMapper:
             collect = getattr(self.object_pipeline, "collect_meshes", None)
             if collect is not None:
                 collect()
+
+    # ------------------------------------------------------------------
+    def warmup_ba_buckets(self, buckets=None, with_objects: bool = True):
+        """Pre-compile the bundle-adjust program for each point bucket so
+        density growth mid-run never pays a compile inside the measured
+        loop (the keyframe analogue of the detector jit warmup)."""
+        K = BA_KF_CAP
+        intr = self.intrinsics
+        for P in (buckets or BA_PT_BUCKETS):
+            O = BA_OBS_PER_PT * P
+            kf_poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+            kf_poses[1, 0, 3] = 0.5          # baseline so H is non-singular
+            kf_fixed = np.ones(K, np.float32)
+            kf_fixed[1] = 0.0
+            points = np.zeros((P, 3), np.float32)
+            points[:, 2] = 5.0
+            pt_valid = np.ones(P, np.float32)
+            obs_kf = np.zeros(O, np.int32)
+            obs_kf[1::2] = 1
+            obs_pt = np.minimum(np.arange(O, dtype=np.int32) // 2, P - 1)
+            obs_uvr = np.zeros((O, 3), np.float32)
+            obs_uvr[:, 0] = float(intr[2])
+            obs_uvr[:, 1] = float(intr[3])
+            obj_variants = [None]
+            if with_objects:
+                M, Q = BA_OBJ_CAP, BA_EDGE_CAP
+                obj_variants.append({
+                    "poses": jnp.tile(jnp.eye(4), (M, 1, 1)),
+                    "fixed": jnp.zeros(M),
+                    "edge_kf": jnp.zeros(Q, jnp.int32),
+                    "edge_obj": jnp.zeros(Q, jnp.int32),
+                    "edge_Tco": jnp.tile(jnp.eye(4), (Q, 1, 1)),
+                    "edge_valid": jnp.zeros(Q),
+                })
+            for obj_state in obj_variants:
+                out = ba.bundle_adjust(
+                    jnp.asarray(kf_poses), jnp.asarray(kf_fixed),
+                    jnp.asarray(points), jnp.asarray(pt_valid),
+                    jnp.asarray(obs_kf), jnp.asarray(obs_pt),
+                    jnp.asarray(obs_uvr), jnp.zeros(O),
+                    jnp.ones(O), jnp.ones(O), intr, 1e-3, obj_state,
+                )
+                np.asarray(out["kf_poses"])   # sync (axon needs a fetch)
 
     # ------------------------------------------------------------------
     def _cull_points(self, kf: KeyFrame):
@@ -480,15 +539,16 @@ class LocalMapper:
         if len(window_ids) < 2:
             return None
 
-        # points observed by the window, strongest first under the cap
+        # points observed by the window, strongest first; the compile
+        # bucket grows with density so nothing truncates below the top cap
         pt_ids = self.map.points_seen_by(window_ids)
         pt_ids.sort(key=lambda p: -self.map.points[p].n_obs)
         if len(pt_ids) > BA_PT_CAP:
-            # fixed device shapes truncate here (the reference's
-            # all-covisible window is unbounded, Optimizer_util.cc:
-            # 309-430): the weakest-observed points are dropped from
-            # THIS solve only — surface it rather than silently thin
-            # the constraint set on dense maps
+            # only past the LAST bucket do fixed device shapes truncate
+            # (the reference's all-covisible window is unbounded,
+            # Optimizer_util.cc:309-430): the weakest-observed points are
+            # dropped from THIS solve only — surface it rather than
+            # silently thin the constraint set on dense maps
             logging.getLogger(__name__).warning(
                 "local BA point cap: %d observed, optimizing strongest %d",
                 len(pt_ids), BA_PT_CAP,
@@ -520,14 +580,14 @@ class LocalMapper:
         if 0 in kf_slot:
             kf_fixed[kf_slot[0]] = 1.0
         pt_slot = {p_id: i for i, p_id in enumerate(pt_ids)}
-        P = BA_PT_CAP
+        P = ba_point_bucket(len(pt_ids))
         points = np.zeros((P, 3), np.float32)
         pt_valid = np.zeros(P, np.float32)
         for p_id, i in pt_slot.items():
             points[i] = self.map.points[p_id].position
             pt_valid[i] = 1.0
 
-        O = BA_OBS_CAP
+        O = BA_OBS_PER_PT * P
         obs_kf = np.zeros(O, np.int32)
         obs_pt = np.zeros(O, np.int32)
         obs_uvr = np.zeros((O, 3), np.float32)
