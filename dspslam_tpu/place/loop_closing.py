@@ -97,6 +97,11 @@ class LoopCloser:
         # dispatched at loop closure, applied by poll()/flush()
         self._pending_gba = None
         self._gba_skip = 0
+        # correction epoch: bumped by every loop correction; a pending
+        # GBA stamped with an older epoch was solved from poses the
+        # correction rewrote and must never be applied (the reference's
+        # mbStopGBA abort, LoopClosing_util.cc:32-50)
+        self._map_epoch = 0
 
     # ------------------------------------------------------------------
     def insert_keyframe(self, kf) -> bool:
@@ -204,6 +209,12 @@ class LoopCloser:
     def _correct_loop(self, kf, loop_kf, S_cw_corr):
         """Propagate correction through the covisibility group, correct
         points + objects, fuse objects, optimize the essential graph."""
+        # loop B while loop A's GBA is still in flight: abort A's solve —
+        # it was computed from the poses this correction is about to
+        # rewrite (reference mbStopGBA + thread join,
+        # LoopClosing_util.cc:32-50); a fresh GBA is dispatched below
+        self.abort_pending_gba()
+        self._map_epoch += 1
         group = [kf.id] + list(kf.covis)
         T_cw_old = kf.T_cw.copy()
         corrections = {}   # kf_id -> (S_iw_old, S_iw_corr)
@@ -272,6 +283,11 @@ class LoopCloser:
         if self._pending_gba is not None:
             pending, self._pending_gba = self._pending_gba, None
             self._apply_global_ba(pending)
+
+    def abort_pending_gba(self):
+        """Drop an in-flight global BA without applying it."""
+        self._pending_gba = None
+        self._gba_skip = 0
 
     @staticmethod
     def _move_object(obj, S_before, S_wi_after):
@@ -722,12 +738,17 @@ class LoopCloser:
             "out": out, "slot": slot, "kf_fixed": kf_fixed, "pslot": pslot,
             "oslot": oslot, "obj_fixed": obj_fixed,
             "has_objs": obj_state is not None,
+            "epoch": self._map_epoch,
         }
 
     def _apply_global_ba(self, pending):
         """Fetch + write back the windowed GBA, then drag the rest of
         the map along the spanning tree; entities erased since dispatch
         are skipped."""
+        if pending.get("epoch", self._map_epoch) != self._map_epoch:
+            # solved from pre-correction poses: stale, never write back
+            # (reference mbStopGBA semantics)
+            return
         out = pending["out"]
         slot, kf_fixed = pending["slot"], pending["kf_fixed"]
         pslot, oslot = pending["pslot"], pending["oslot"]

@@ -427,3 +427,91 @@ def test_loop_correction_at_scale_with_objects():
     assert abs(slam_map.objects[obj_a.id].T_wo[0, 3] - 2.0) < 0.7
     for kf in kfs:
         assert np.isfinite(kf.T_cw).all()
+
+
+def test_second_loop_aborts_pending_gba():
+    """Loop B closing while loop A's global BA is still in flight must
+    ABORT the stale solve (reference mbStopGBA, LoopClosing_util.cc:
+    32-50): the correction rewrites the poses A's GBA was computed from,
+    so applying it afterwards would drag the map back to pre-B geometry.
+    Drives an out-back-out-back trajectory with NO poll()/flush() between
+    keyframes so the first pending GBA is still live when the second
+    revisit closes."""
+    lmk_pos, lmk_desc = build_world()
+    slam_map = Map()
+
+    # two revisits of the x=0..10 corridor; drift accumulates per pass
+    xs = (
+        list(range(0, 11)) + list(range(9, -1, -1))
+        + list(range(1, 11)) + list(range(9, -1, -1))
+    )
+    pass_starts = {11, 21, 31}
+    DRIFT_RATE = 0.05
+    kfs = []
+    point_of_lmk: dict[int, int] = {}
+    drift = 0.0
+    for step, x in enumerate(xs):
+        if step in pass_starts:
+            point_of_lmk = {}
+        if step >= 11:
+            drift += DRIFT_RATE
+        T_true = np.eye(4, dtype=np.float32)
+        T_true[0, 3] = -x
+        T_est = np.eye(4, dtype=np.float32)
+        T_est[0, 3] = -(x + drift)
+        uv_true, ok = project(T_true, lmk_pos)
+        vis = np.nonzero(ok)[0]
+        feats = make_feats(uv_true[vis], lmk_desc[vis])
+        frame = Frame(float(step), feats)
+        frame.T_cw = T_est
+        kf = KeyFrame(frame)
+        slam_map.add_keyframe(kf)
+        T_wc_est = np.linalg.inv(T_est)
+        for slot, li in enumerate(vis[:220]):
+            if li in point_of_lmk:
+                p = slam_map.points.get(point_of_lmk[li])
+                if p is not None:
+                    slam_map.add_observation(p, kf, slot)
+                continue
+            x_cam = T_true[:3, :3] @ lmk_pos[li] + T_true[:3, 3]
+            x_world_est = T_wc_est[:3, :3] @ x_cam + T_wc_est[:3, 3]
+            p = MapPoint(x_world_est, lmk_desc[li], kf.id)
+            slam_map.add_point(p)
+            slam_map.add_observation(p, kf, slot)
+            point_of_lmk[li] = p.id
+        slam_map.update_covisibility(kf)
+        kfs.append(kf)
+
+    voc = Vocabulary.train(lmk_desc, branching=6, levels=2, seed=1)
+    closer = LoopCloser(
+        slam_map, voc, [FX, FY, CX, CY, BF], fix_scale=True, min_matches=12
+    )
+
+    stale_pending = None
+    for kf in kfs:                      # never poll(): GBAs stay in flight
+        if closer.insert_keyframe(kf):
+            if closer.loops_closed == 1:
+                stale_pending = closer._pending_gba
+                assert stale_pending is not None
+                assert stale_pending["epoch"] == closer._map_epoch
+
+    assert closer.loops_closed >= 2, "second revisit did not close a loop"
+    # the second correction dropped A's solve and dispatched a fresh one
+    assert closer._pending_gba is not stale_pending
+    assert stale_pending["epoch"] < closer._map_epoch
+
+    # applying the stale solve anyway is a guarded no-op
+    poses_now = {k.id: k.T_cw.copy() for k in kfs if not k.bad}
+    closer._apply_global_ba(stale_pending)
+    for k in kfs:
+        if not k.bad:
+            np.testing.assert_array_equal(k.T_cw, poses_now[k.id])
+
+    # the live solve applies cleanly and the map stays finite
+    closer.flush()
+    for k in kfs:
+        assert np.isfinite(k.T_cw).all()
+    for p in slam_map.points.values():
+        assert np.isfinite(p.position).all()
+    # endpoint pulled back toward truth (total drift ~1.5 m at the end)
+    assert abs(kfs[-1].T_cw[0, 3] - 0.0) < 0.75
