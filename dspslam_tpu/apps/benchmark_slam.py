@@ -269,9 +269,15 @@ def main(argv=None):
                    help="disable one-frame-lag pipelined tracking")
     p.add_argument("--sync_ba", action="store_true",
                    help="apply local BA synchronously at each keyframe")
-    p.add_argument("--async_kf", action="store_true",
+    p.add_argument("--async_kf", action="store_true", default=True,
                    help="spread keyframe work over subsequent frames "
-                   "(bounds worst-case latency; raises the median)")
+                   "(bounds worst-case latency and lifts the sustained "
+                   "mean — the headline; raises the median a little "
+                   "since poll work lands on otherwise-clean frames). "
+                   "Default on; --sync_kf disables.")
+    p.add_argument("--sync_kf", dest="async_kf", action="store_false",
+                   help="process the whole keyframe synchronously at "
+                   "the frame that created it (maximizes the median)")
     p.add_argument("--mono", action="store_true",
                    help="monocular mode at reference mono settings "
                    "(4000 features; Redwood/Freiburg pacing is 15/25 fps)")
@@ -454,6 +460,7 @@ def main(argv=None):
         "metric": "slam_fps_end_to_end", "value": round(float(fps_mean), 2),
         "unit": "fps", "vs_baseline": round(float(fps_mean) / 10.0, 3),
         "median_fps": round(float(fps_median), 2),
+        "max_frame_ms": round(float(steady.max()) * 1e3, 1),
         "ate_rmse_cm": round(ate["rmse"] * 100, 2),
         "workload": "detectors+mlp" if full else "legacy",
         "turn_deg": TURN_DEG,

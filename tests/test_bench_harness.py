@@ -21,7 +21,7 @@ def _load_bench():
 def _info(**over):
     base = {
         "workload": "detectors+mlp", "median_fps": 18.0, "turn_deg": 30.0,
-        "ate_rmse_cm": 1.0, "drop_rate": 0.1,
+        "max_frame_ms": 350.0, "ate_rmse_cm": 1.0, "drop_rate": 0.1,
     }
     base.update(over)
     return base
@@ -116,15 +116,18 @@ def test_wedge_after_headline_keeps_the_measured_fps():
 
 
 def test_slow_but_healthy_does_not_retry():
-    # healthy link AND median ~ mean: the slow fps is the honest
-    # workload number, not a relay artifact — no retry
+    # healthy link AND no multi-second frame stall: the slow fps is the
+    # honest workload number, not a relay artifact — no retry. Honest
+    # keyframe skew (median fps well above mean, spikes of a few
+    # hundred ms) must NOT trip the stall signature.
     m = _load_bench()
     calls = []
     m.probe_relay = lambda max_wait_s=600.0: 21.0
     m._upload_ms = lambda: 20.0
     def fake(frames=40, extra=()):
         calls.append(extra)
-        return 8.0, _info(median_fps=8.4)
+        # keyframe-heavy honest run: median 2x mean, worst frame 420 ms
+        return 8.0, _info(median_fps=16.0, max_frame_ms=420.0)
     m.bench_slam_fps = fake
     m.bench_gn = lambda: 7.7
     buf = io.StringIO()
@@ -138,13 +141,15 @@ def test_slow_but_healthy_does_not_retry():
 def test_stall_poisoned_mean_retries_even_with_healthy_post_probe():
     # a transient mid-run relay stall craters the mean while the median
     # stays at workload speed (observed: median 9.8 vs mean 0.58) and
-    # the link probes healthy again afterwards — that signature retries
+    # the link probes healthy again afterwards — the multi-second
+    # max-frame-time signature retries
     m = _load_bench()
     probes = iter([21.0, 22.0])
     m.probe_relay = lambda max_wait_s=600.0: next(probes)
     m._upload_ms = lambda: 20.0  # healthy post-probe
     fps_seq = iter(
-        [(0.6, _info(median_fps=9.8)), (11.0, _info(median_fps=17.0)),
+        [(0.6, _info(median_fps=9.8, max_frame_ms=48000.0)),
+         (11.0, _info(median_fps=17.0)),
          (20.0, _info()), (12.0, _info()), (12.0, _info(drop_rate=0.2))]
     )
     m.bench_slam_fps = lambda frames=40, extra=(): next(fps_seq)

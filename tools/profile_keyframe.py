@@ -4,6 +4,7 @@ Wraps LocalMapper/ObjectPipeline stage methods with perf counters and
 runs the benchmark_slam world, printing mean ms per stage per keyframe.
 """
 
+import inspect
 import time
 from collections import defaultdict
 
@@ -22,7 +23,9 @@ def wrap(obj, name, label=None):
         times[lab].append(time.perf_counter() - t0)
         return out
 
-    if isinstance(obj.__dict__.get(name), staticmethod):
+    # getattr_static walks the MRO, so inherited staticmethods are seen
+    # too (obj.__dict__ alone would miss them and pass self at call time)
+    if isinstance(inspect.getattr_static(obj, name), staticmethod):
         wrapped = staticmethod(wrapped)
     setattr(obj, name, wrapped)
 
