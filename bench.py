@@ -184,6 +184,7 @@ def _measure():
             median_fps=info.get("median_fps"),
             turn_deg=info.get("turn_deg"),
             ate_rmse_cm=info.get("ate_rmse_cm"),
+            mesh_chamfer_cm=info.get("mesh_chamfer_cm"),
         )
 
     fps, info = bench_slam_fps()
@@ -234,6 +235,12 @@ def _measure():
     gn_ms = bench_gn()
     RESULTS["gn_recon_ms_per_object"] = round(gn_ms, 3)
     RESULTS["gn_vs_baseline_50ms"] = round(50.0 / gn_ms, 3)
+    # long-sequence loop-closure gain (BASELINE config 5): 201-KF street
+    # loop through the real loop-closing stack, ATE before/after
+    _, loop_info = bench_slam_fps(frames=100, extra=("--long_loop",))
+    for key in ("ate_before_loop_cm", "ate_after_loop_cm", "loop_kfs",
+                "loops_closed"):
+        RESULTS[key] = loop_info.get(key)
     _emit_results()
 
 

@@ -291,6 +291,12 @@ def main(argv=None):
                    "rate and stale frames are DROPPED (the reference "
                    "main loop's behaviour, dsp_slam_mono.cc:80-95); "
                    "reports drop rate instead of raw throughput")
+    p.add_argument("--long_loop", action="store_true",
+                   help="200+-keyframe street-loop benchmark: drives the "
+                   "real loop-closing stack (BoW detect, Sim3 RANSAC, "
+                   "essential graph, global BA on device) over a "
+                   "fabricated drifted map and reports ATE before/after "
+                   "the loop closure (BASELINE config 5, KITTI-00 loop)")
     p.add_argument("--workload", choices=("full", "legacy"), default="full",
                    help="full = detectors + real DeepSDF MLP inside the "
                    "measured loop (the honest headline); legacy = round-2 "
@@ -313,6 +319,8 @@ def main(argv=None):
         if args.warmup is None:
             args.warmup = 6
         return main_mono(args)
+    if args.long_loop:
+        return main_long_loop(args)
 
     full = args.workload == "full" and not args.no_objects
     if args.warmup is None:
@@ -377,9 +385,17 @@ def main(argv=None):
     ) if not args.no_objects else None
 
     def pipeline_factory(slam_map):
+        # 40 GN iterations: new-object reconstruction starts from the
+        # zero code (decodes to the mean-radius sphere) and needs ~25+
+        # joint iterations to converge scale+code to the true radius
+        # (measured: world radius 0.84 at 10 iters, 1.01 at 40); the
+        # reference's 10-iter default assumes a pretrained mean-shape
+        # prior much closer to the target family. Recon runs once per
+        # NEW object, so the extra iterations cost keyframes only, and
+        # per-object latency stays under the 50 ms baseline (bench_gn).
         return ObjectPipeline(
             slam_map, decoder_fn, decoder_params,
-            gn.GNConfig(code_len=CODE_LEN, k4=0.0, num_iterations=10),
+            gn.GNConfig(code_len=CODE_LEN, k4=0.0, num_iterations=40),
             max_detections=8, max_surface_points=256, max_rays=512,
             extract_meshes=True, voxels_dim=33,
         )
@@ -443,11 +459,39 @@ def main(argv=None):
         gt.append(traj[int(round(ts / 0.1))])
     ate = ate_rmse(np.stack(est), np.stack(gt))
 
+    # mesh fidelity (BASELINE third axis): chamfer distance between each
+    # reconstructed object mesh (canonical verts -> world via Sim(3)
+    # T_wo) and its GT sphere surface
+    from ..utils.evaluation import chamfer_distance, sample_sphere
+
+    chamfers = []
+    skipped = {"bad": 0, "no_mesh": 0, "empty": 0}
+    for obj in system.map.objects.values():
+        if obj.bad:
+            skipped["bad"] += 1
+            continue
+        if obj.vertices is None:
+            skipped["no_mesh"] += 1
+            continue
+        if len(obj.vertices) == 0:
+            skipped["empty"] += 1
+            continue
+        v_w = obj.vertices @ obj.T_wo[:3, :3].T + obj.T_wo[:3, 3]
+        c = spheres_w[
+            np.argmin(np.linalg.norm(spheres_w - v_w.mean(0), axis=1))
+        ]
+        chamfers.append(chamfer_distance(v_w, sample_sphere(c, RADIUS)))
+    mesh_chamfer_cm = (
+        round(float(np.mean(chamfers)) * 100, 2) if chamfers else None
+    )
+
     n_det = channel.calls if channel else 0
     print(
         f"state={system.state.name} kfs={len(system.map.keyframes)} "
         f"pts={len(system.map.points)} objs={len(system.map.objects)} "
-        f"detector_calls={n_det}"
+        f"detector_calls={n_det} "
+        f"mesh_chamfer={mesh_chamfer_cm} cm over {len(chamfers)} meshes"
+        + (f" (skipped {skipped})" if any(skipped.values()) else "")
     )
     print(
         f"median frame {np.median(steady) * 1e3:.1f} ms, mean "
@@ -464,8 +508,65 @@ def main(argv=None):
         "ate_rmse_cm": round(ate["rmse"] * 100, 2),
         "workload": "detectors+mlp" if full else "legacy",
         "turn_deg": TURN_DEG,
+        "mesh_chamfer_cm": mesh_chamfer_cm,
+        "n_meshes": len(chamfers),
     }))
     return float(fps_mean)
+
+
+def main_long_loop(args):
+    """Long-sequence loop benchmark: a 200-meter fabricated street loop
+    (datasets.street_loop) with 1%-per-step odometry drift, driven
+    through the REAL loop-closing stack — BoW detection, Sim(3) RANSAC,
+    essential-graph optimization and background global BA on the live
+    device (LoopClosing.cc pipeline at BASELINE config-5 scale). The
+    recorded evidence that loop closing pays: ATE RMSE before vs after
+    the correction."""
+    from ..datasets.street_loop import StreetLoopWorld
+    from ..place.loop_closing import LoopCloser
+    from ..place.vocabulary import Vocabulary
+
+    n_kf = max(2 * args.frames + 1, 201)
+    world = StreetLoopWorld(street_len=(n_kf - 1) // 2)
+    t0 = time.perf_counter()
+    slam_map, kfs, truth = world.build()
+    print(f"street-loop map: {len(kfs)} KFs, {len(slam_map.points)} "
+          f"points, {time.perf_counter() - t0:.1f} s")
+    voc = Vocabulary.train(world.lmk_desc, branching=6, levels=2, seed=1)
+    closer = LoopCloser(
+        slam_map, voc,
+        [world.fx, world.fy, world.cx, world.cy, world.fx * 0.4],
+        fix_scale=True, min_matches=12,
+    )
+    err_before = None
+    snap_id = kfs[-(world.revisit_len + 1)].id
+    t0 = time.perf_counter()
+    for kf in kfs:
+        closer.insert_keyframe(kf)
+        if err_before is None and kf.id == snap_id:
+            err_before = world.pose_errors(slam_map, kfs, truth)
+    closer.flush()
+    loop_wall_s = time.perf_counter() - t0
+    err_after = world.pose_errors(slam_map, kfs, truth)
+    ate_before = float(np.sqrt(np.mean(err_before ** 2)))
+    ate_after = float(np.sqrt(np.mean(err_after ** 2)))
+    print(
+        f"loops_closed={closer.loops_closed} ATE RMSE "
+        f"{ate_before * 100:.1f} -> {ate_after * 100:.1f} cm over "
+        f"{len(kfs)} KFs ({truth.max():.0f} m out-and-back, "
+        f"{loop_wall_s:.1f} s wall)"
+    )
+    print(json.dumps({
+        "metric": "loop_ate_rmse_cm",
+        "value": round(ate_after * 100, 2), "unit": "cm",
+        "vs_baseline": round(ate_before / max(ate_after, 1e-9), 2),
+        "ate_before_loop_cm": round(ate_before * 100, 2),
+        "ate_after_loop_cm": round(ate_after * 100, 2),
+        "loop_kfs": len(kfs),
+        "loops_closed": closer.loops_closed,
+        "loop_wall_s": round(loop_wall_s, 1),
+    }))
+    return ate_after * 100
 
 
 MONO_PROFILES = {

@@ -180,11 +180,25 @@ def export_reference_format(state: TrainState, config, out_dir: str):
 
 
 def make_sphere_dataset(key, num_shapes=4, n=4096):
-    """Synthetic SDF samples of spheres with per-shape radii (tests)."""
-    k1, k2 = jax.random.split(key)
-    xyz = jax.random.uniform(k1, (n, 3), minval=-1.0, maxval=1.0)
+    """Synthetic SDF samples of spheres with per-shape radii.
+
+    Half the samples concentrate near the surface (surface point +
+    N(0, 0.08) jitter), half are uniform over [-1, 1]^3 — the
+    reference's preprocessing does the same (near-surface-biased SDF
+    sampling, deep_sdf/data.py): uniform-only sampling makes ~93% of
+    targets positive (sphere exterior), and that positive bias drives
+    the freshly initialized final-tanh decoder into saturation at +1
+    within ~100 Adam steps, a constant-prediction collapse it never
+    recovers from (dead tanh gradient)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     shape_idx = jax.random.randint(k2, (n,), 0, num_shapes)
     radii = 0.3 + 0.1 * jnp.arange(num_shapes)
+    d = jax.random.normal(k1, (n, 3))
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    near = d * radii[shape_idx][:, None] \
+        + 0.08 * jax.random.normal(k3, (n, 3))
+    unif = jax.random.uniform(k4, (n, 3), minval=-1.0, maxval=1.0)
+    xyz = jnp.where(((jnp.arange(n) % 2) == 0)[:, None], near, unif)
     sdf = jnp.linalg.norm(xyz, axis=-1) - radii[shape_idx]
     return {"shape_idx": shape_idx, "xyz": xyz, "sdf": sdf}
 
@@ -195,7 +209,7 @@ def fit_spheres(
     steps: int = 400,
     batch: int = 8192,
     seed: int = 0,
-    lr: float = 1e-3,
+    lr: float = 5e-4,
 ):
     """Train the decoder to represent spheres (radii 0.3 .. 0.3+0.1*K).
 

@@ -52,6 +52,38 @@ def ate_rmse(
     }
 
 
+def chamfer_distance(a: np.ndarray, b: np.ndarray,
+                     chunk: int = 4096) -> float:
+    """Symmetric chamfer distance between two point sets (N,3)/(M,3):
+    mean nearest-neighbour distance in both directions, in the input
+    unit. The reference evaluates reconstructed meshes against GT
+    surfaces this way (standard DeepSDF protocol; optimizer.py:214-223
+    is the mesh-producing path being scored)."""
+    a = np.asarray(a, np.float64).reshape(-1, 3)
+    b = np.asarray(b, np.float64).reshape(-1, 3)
+    if len(a) == 0 or len(b) == 0:
+        return float("nan")
+
+    def one_way(src, dst):
+        mins = np.empty(len(src))
+        for i in range(0, len(src), chunk):
+            d2 = ((src[i:i + chunk, None, :] - dst[None, :, :]) ** 2).sum(-1)
+            mins[i:i + chunk] = np.sqrt(d2.min(axis=1))
+        return mins.mean()
+
+    return float(0.5 * (one_way(a, b) + one_way(b, a)))
+
+
+def sample_sphere(center, radius: float, n: int = 500) -> np.ndarray:
+    """Fibonacci-spiral samples of a sphere surface (GT for chamfer)."""
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / n)
+    theta = np.pi * (1.0 + 5.0 ** 0.5) * i
+    d = np.stack([np.sin(phi) * np.cos(theta),
+                  np.sin(phi) * np.sin(theta), np.cos(phi)], -1)
+    return np.asarray(center, np.float64) + radius * d
+
+
 def rpe(est: np.ndarray, gt: np.ndarray, delta: int = 1) -> dict:
     """Relative pose error over `delta`-frame intervals: translational
     RMSE (m) and rotational RMSE (deg)."""

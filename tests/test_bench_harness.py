@@ -22,9 +22,16 @@ def _info(**over):
     base = {
         "workload": "detectors+mlp", "median_fps": 18.0, "turn_deg": 30.0,
         "max_frame_ms": 350.0, "ate_rmse_cm": 1.0, "drop_rate": 0.1,
+        "mesh_chamfer_cm": 6.0,
+        "ate_before_loop_cm": 115.6, "ate_after_loop_cm": 6.5,
+        "loop_kfs": 201, "loops_closed": 1,
     }
     base.update(over)
     return base
+
+
+def _loop_info(**over):
+    return _info(**over)
 
 
 def test_healthy_path_emits_one_complete_line():
@@ -46,6 +53,8 @@ def test_healthy_path_emits_one_complete_line():
         "mono_fps_redwood", "mono_vs_redwood_pacing_15fps",
         "mono_fps_freiburg", "mono_vs_freiburg_pacing_25fps",
         "mono_freiburg_paced_drop_rate", "relay_upload_ms_466KB",
+        "mesh_chamfer_cm", "ate_before_loop_cm", "ate_after_loop_cm",
+        "loop_kfs", "loops_closed",
     ):
         assert k in out, k
     assert "relay_wedged" not in out and "error" not in out
@@ -58,7 +67,8 @@ def test_degraded_first_attempt_retries_and_records_both():
     m._upload_ms = lambda: 900.0  # sick right after the first attempt
     fps_seq = iter(
         [(6.4, _info(median_fps=7.0)), (11.2, _info(median_fps=17.0)),
-         (20.0, _info()), (12.0, _info()), (12.0, _info(drop_rate=0.2))]
+         (20.0, _info()), (12.0, _info()), (12.0, _info(drop_rate=0.2)),
+         (6.5, _loop_info())]
     )
     m.bench_slam_fps = lambda frames=40, extra=(): next(fps_seq)
     m.bench_gn = lambda: 7.7
@@ -79,7 +89,8 @@ def test_retry_that_loses_keeps_first_headline_and_records_retry():
     m._upload_ms = lambda: 900.0
     fps_seq = iter(
         [(6.4, _info(median_fps=7.0)), (5.8, _info(median_fps=6.0)),
-         (20.0, _info()), (12.0, _info()), (12.0, _info(drop_rate=0.2))]
+         (20.0, _info()), (12.0, _info()), (12.0, _info(drop_rate=0.2)),
+         (6.5, _loop_info())]
     )
     m.bench_slam_fps = lambda frames=40, extra=(): next(fps_seq)
     m.bench_gn = lambda: 7.7
@@ -135,7 +146,7 @@ def test_slow_but_healthy_does_not_retry():
         m.main()
     out = json.loads(buf.getvalue())
     assert out["value"] == 8.0 and "fps_degraded_attempt" not in out
-    assert len(calls) == 4  # headline + 2 mono + paced, no retry
+    assert len(calls) == 5  # headline + 2 mono + paced + loop, no retry
 
 
 def test_stall_poisoned_mean_retries_even_with_healthy_post_probe():
@@ -150,7 +161,8 @@ def test_stall_poisoned_mean_retries_even_with_healthy_post_probe():
     fps_seq = iter(
         [(0.6, _info(median_fps=9.8, max_frame_ms=48000.0)),
          (11.0, _info(median_fps=17.0)),
-         (20.0, _info()), (12.0, _info()), (12.0, _info(drop_rate=0.2))]
+         (20.0, _info()), (12.0, _info()), (12.0, _info(drop_rate=0.2)),
+         (6.5, _loop_info())]
     )
     m.bench_slam_fps = lambda frames=40, extra=(): next(fps_seq)
     m.bench_gn = lambda: 7.7

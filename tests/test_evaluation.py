@@ -77,3 +77,59 @@ class TestIO:
                 f.write(" ".join(f"{v:.9f}" for v in T[:3].reshape(-1)) + "\n")
         loaded = evaluation.load_kitti_trajectory(str(path))
         np.testing.assert_allclose(loaded, t, atol=1e-8)
+
+
+class TestChamfer:
+    def test_identical_sets_zero(self):
+        pts = evaluation.sample_sphere([1.0, 2.0, 3.0], 1.0, n=200)
+        assert evaluation.chamfer_distance(pts, pts) == pytest.approx(0.0)
+
+    def test_sphere_radius_offset(self):
+        # two concentric sphere samplings differing by dr: chamfer ~= dr
+        c = np.array([0.5, -0.2, 4.0])
+        a = evaluation.sample_sphere(c, 1.0, n=600)
+        b = evaluation.sample_sphere(c, 1.15, n=600)
+        d = evaluation.chamfer_distance(a, b)
+        assert d == pytest.approx(0.15, abs=0.02)
+
+    def test_empty_is_nan(self):
+        a = evaluation.sample_sphere([0, 0, 0], 1.0, n=16)
+        assert np.isnan(evaluation.chamfer_distance(a, np.zeros((0, 3))))
+
+
+def test_street_loop_benchmark_small_scale():
+    """The --long_loop benchmark path at reduced scale: the fabricated
+    street loop drifts, the real loop closer detects the revisit and the
+    correction shrinks ATE by a large factor (BASELINE config 5 shape)."""
+    from dspslam_tpu.datasets.street_loop import StreetLoopWorld
+    from dspslam_tpu.place.loop_closing import LoopCloser
+    from dspslam_tpu.place.vocabulary import Vocabulary
+
+    world = StreetLoopWorld(street_len=14, drift_rate=0.02, seed=3)
+    slam_map, kfs, truth = world.build()
+    assert len(kfs) == 29
+    voc = Vocabulary.train(world.lmk_desc, branching=6, levels=2, seed=1)
+    closer = LoopCloser(
+        slam_map, voc, [world.fx, world.fy, world.cx, world.cy,
+                        world.fx * 0.4], fix_scale=True, min_matches=12)
+    err_before = None
+    snap_id = kfs[-(world.revisit_len + 1)].id
+    for kf in kfs:
+        closer.insert_keyframe(kf)
+        if err_before is None and kf.id == snap_id:
+            err_before = world.pose_errors(slam_map, kfs, truth)
+    closer.flush()
+    assert closer.loops_closed >= 1
+    err_after = world.pose_errors(slam_map, kfs, truth)
+    ate_b = np.sqrt(np.mean(err_before ** 2))
+    ate_a = np.sqrt(np.mean(err_after ** 2))
+    # at 29 KFs the relaxation has little chain to spread error over, so
+    # the trajectory-wide gain is modest (the 201-KF at-scale test and
+    # the recorded benchmark check the large-factor gain); here assert
+    # the correction is applied where it acts directly — the revisit
+    # endpoint — plus a net trajectory improvement
+    end_b = abs(-kfs[-1].T_cw[0, 3] - truth[-1])
+    assert end_b < 0.35 * (len(kfs) * world.drift_rate), (
+        f"endpoint err {end_b:.3f} not corrected"
+    )
+    assert ate_a < 0.8 * ate_b, f"{ate_a:.3f} vs {ate_b:.3f}"
