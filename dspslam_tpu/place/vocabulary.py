@@ -20,7 +20,9 @@ The reference's pretrained ORBvoc (10^6 words, K=10 L=6) targets
 OpenCV's BRIEF pattern; this framework trains its own vocabulary for
 its own pattern (frontend.orb). Use K=10, L>=4 (10^4+ words) for
 street-scale loop closure — 512-word vocabularies flood detection with
-false candidates on self-similar scenes (see tests/test_vocab_scale).
+false candidates on self-similar scenes (see tests/test_vocab_scale);
+L=5 (10^5 words) is the measured sweet spot at 2k-keyframe scale
+(wider true/novel score margin AND faster queries, docs/vocab_scale.md).
 """
 
 from __future__ import annotations
