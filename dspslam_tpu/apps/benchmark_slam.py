@@ -291,6 +291,13 @@ def main(argv=None):
                    "rate and stale frames are DROPPED (the reference "
                    "main loop's behaviour, dsp_slam_mono.cc:80-95); "
                    "reports drop rate instead of raw throughput")
+    p.add_argument("--mono_downscale", type=int, default=1,
+                   help="process mono at 1/N resolution (intrinsics "
+                   "scaled to match): the documented fallback when the "
+                   "relay cannot carry the full-resolution upstream "
+                   "(Freiburg 960x540@25 = 13 MB/s; a 40x-degraded "
+                   "window carries ~0.6 MB/s — tools/profile_mono.py "
+                   "measures the live ceiling)")
     p.add_argument("--long_loop", action="store_true",
                    help="200+-keyframe street-loop benchmark: drives the "
                    "real loop-closing stack (BoW detect, Sim3 RANSAC, "
@@ -585,8 +592,9 @@ def main_mono(args):
     import jax
 
     prof = MONO_PROFILES[args.mono_profile]
-    mw, mh, mfx = prof["w"], prof["h"], prof["fx"]
-    mcx, mcy = prof["cx"], prof["cy"]
+    ds = max(args.mono_downscale, 1)
+    mw, mh, mfx = prof["w"] // ds, prof["h"] // ds, prof["fx"] / ds
+    mcx, mcy = prof["cx"] / ds, prof["cy"] / ds
     world = LayeredWorld(
         mw, mh, mfx, cx=mcx, cy=mcy, depths=(25.0, 12.0, 7.0),
         ground_height=1.65, x_range=(-1.0, 0.3 * (args.frames + 2)),
@@ -695,6 +703,8 @@ def main_mono(args):
         "value": round(float(fps), 2),
         "unit": "fps", "vs_baseline": round(float(fps) / pace, 3),
     }
+    if ds > 1:
+        out["downscale"] = ds
     if args.paced:
         out["drop_rate"] = round(dropped / max(args.frames - 1, 1), 3)
     print(json.dumps(out))

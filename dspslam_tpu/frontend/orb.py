@@ -200,6 +200,14 @@ def select_keypoints(
     flat_val = top_val.reshape(-1)
     flat_ys = ys.reshape(-1)
     flat_xs = xs.reshape(-1)
+    if flat_val.shape[0] < k:
+        # tiny pyramid levels (low-res / deep-level images) can hold
+        # fewer candidates than the geometric budget; zero-pad so the
+        # fixed-shape contract holds — pad slots score 0 -> valid 0
+        pad = k - flat_val.shape[0]
+        flat_val = jnp.pad(flat_val, (0, pad))
+        flat_ys = jnp.pad(flat_ys, (0, pad))
+        flat_xs = jnp.pad(flat_xs, (0, pad))
     val, idx = jax.lax.top_k(flat_val, k)
     xy = jnp.stack([flat_xs[idx], flat_ys[idx]], axis=-1).astype(jnp.float32)
     valid = (val > 0).astype(jnp.float32)
