@@ -610,9 +610,20 @@ def main_mono(args):
         search_radius_motion=25.0,
         pipelined=not args.no_pipeline,
     )
+    from ..slam.local_mapping import LocalMapperConfig
+
     system = SLAMSystem(
         tracker_cfg=cfg,
         orb_params=orb.ORBParams(n_features=4000, n_levels=8),
+        # spread keyframe work over subsequent frames: mono keyframes
+        # measured 300-1100 ms as one synchronous spike (triangulate +
+        # local pack rebuild + BA; tools/profile_mono.py) — at 25 fps
+        # pacing one such spike drops ~25 frames. Objects are off in
+        # mono so the spread has no association conflict.
+        local_mapper_cfg=LocalMapperConfig(
+            fx=mfx, fy=mfx, cx=mcx, cy=mcy, bf=mfx * 0.5,
+            async_ba=True, async_keyframe=True,
+        ),
     )
     host_imgs = [
         np.clip(world.render_pose(T), 0, 255).astype(np.uint8) for T in traj

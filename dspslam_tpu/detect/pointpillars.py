@@ -381,6 +381,13 @@ def init_params(cfg: PointPillarsConfig, key: jax.Array) -> dict:
     feat = sum(cfg.fpn_channels)
     n_anchor = len(cfg.anchor_rotations)
     params["head_cls"] = _conv_init(next(keys), feat, n_anchor, k=1)
+    # focal-loss prior bias (RetinaNet init, mmdet bias_prob=0.01):
+    # start the classifier at P(object) ~= 0.01 so the ~10^4:1
+    # negative:positive anchor imbalance doesn't spend the early
+    # schedule suppressing negatives through the shared trunk
+    params["head_cls"]["b"] = jnp.full(
+        (n_anchor,), -float(np.log(99.0)), jnp.float32
+    )
     params["head_box"] = _conv_init(next(keys), feat, n_anchor * 7, k=1)
     params["head_dir"] = _conv_init(next(keys), feat, n_anchor * 2, k=1)
     return params

@@ -72,3 +72,36 @@ def test_pointpillars_closed_loop_recovers_planted_boxes():
     w_err = np.abs(boxes[:, 3] - cfg.anchor_size[0]).max()
     l_err = np.abs(boxes[:, 4] - cfg.anchor_size[1]).max()
     assert w_err < 0.6 and l_err < 1.0, (w_err, l_err)
+
+
+@pytest.mark.slow
+def test_pointpillars_bn_training_generalizes_cross_scene():
+    """The BN-enabled trainer (conv->BN->ReLU like mmdet, folded to the
+    normalization-free inference net afterwards) must detect planted
+    boxes on scenes it has NEVER seen — the generalization the
+    normalization-free from-scratch path lacks (round-3 finding:
+    thousands of steps; with BN + focal prior bias ~600 suffice)."""
+    import numpy as np
+    from dspslam_tpu.detect import pointpillars_train as ppt
+    from dspslam_tpu.detect.pointpillars import Detector3D
+
+    cfg = ppt.small_config()
+    params, tail = ppt.fit_synthetic_bn(cfg, steps=600, seed=0)
+    det = Detector3D(params=params, cfg=cfg)
+    rng = np.random.default_rng(777)          # unseen eval scenes
+    recovered, total, spurious = 0, 0, 0
+    for _ in range(4):
+        scan, gt = ppt.make_box_scene(rng, cfg, n_boxes=3)
+        boxes = np.asarray(det.make_prediction(scan))
+        total += len(gt)
+        hits = sum(
+            1 for g in gt
+            if len(boxes)
+            and np.min(np.linalg.norm(boxes[:, :2] - g[None, :2], axis=1))
+            < 1.5
+        )
+        recovered += hits
+        spurious += max(len(boxes) - hits, 0)
+    assert recovered >= int(0.75 * total), (
+        f"cross-scene recall {recovered}/{total} (spurious {spurious})"
+    )
