@@ -147,34 +147,46 @@ class ObjectPipeline:
 
     # ------------------------------------------------------------------
     def _measure_canonical_half_extent(self):
-        """Mean half-extent of the zero-code (mean) shape on a coarse
-        SDF grid — one startup decode, used to seed new-object scale."""
+        """Median surface radius of the zero-code (mean) shape on a
+        coarse SDF grid — one startup decode, used to seed new-object
+        scale. The matched statistic on the measurement side is the
+        median distance of the detection's surface points from its
+        center (below), so the ratio is a direct scale estimate."""
         dim = 33
         sdf = np.asarray(mesh_mod.decode_sdf_grid(
             self.decoder_fn, self.decoder_params,
             jnp.zeros(self.cfg.code_len), dim,
         ))
-        idx = np.argwhere(sdf < 0.0)
+        spacing = 2.0 / (dim - 1)
+        idx = np.argwhere(np.abs(sdf) < spacing)      # near-surface band
         if len(idx) == 0:
             return None                 # surface-free mean shape: skip
-        spacing = 2.0 / (dim - 1)
         pts = idx * spacing - 1.0
-        # interior grid points quantize the extent low by up to one
-        # voxel; half a voxel recenters the bias (a seed, GN refines it)
-        return float(np.abs(pts).max(axis=0).mean() + 0.5 * spacing)
+        return float(np.median(np.linalg.norm(pts, axis=-1)))
 
     def _calibrated_t_init(self, t_init, dets):
         """Rescale each detection's initial Sim(3) so the zero-code
-        shape starts at the detection's physical half-extent."""
-        e0 = self.canonical_half_extent
-        if e0 is None or e0 < 1e-3:
+        surface starts at the measured surface radius. Uses the
+        detection's surface POINTS (the same data GN fits) rather than
+        its 3-D box: box sizes carry dataset/convention inflation
+        (kitti_sequence.py:145-146 bakes scale=l; cuboid PCA boxes of
+        partial LiDAR caps over-reach), while the median point distance
+        from the detection center estimates the object's surface radius
+        directly."""
+        r0 = self.canonical_half_extent
+        if r0 is None or r0 < 1e-3:
             return t_init
         for slot, det in enumerate(dets):
-            box = getattr(det, "box_size", None)
-            if box is None:
+            pts = getattr(det, "surface_points", None)
+            n = getattr(det, "num_surface_points", 0)
+            if pts is None or n < MIN_PTS_RECON:
                 continue
+            center = t_init[slot, :3, 3]
+            r_obs = float(np.median(
+                np.linalg.norm(np.asarray(pts[:n]) - center, axis=-1)
+            ))
             s_det = float(np.linalg.det(t_init[slot, :3, :3])) ** (1 / 3)
-            s_star = float(np.mean(box)) / 2.0 / e0
+            s_star = r_obs / r0
             if s_det > 1e-6 and s_star > 1e-6:
                 t_init[slot, :3, :3] *= s_star / s_det
         return t_init

@@ -172,28 +172,36 @@ class TestScaleInitCalibration:
             extract_meshes=False, **kw,
         )
 
-    def test_measures_canonical_half_extent(self):
+    def test_measures_canonical_surface_radius(self):
         pipe = self._pipeline()
-        # analytic zero-code sphere has radius 0.5; the 17-voxel grid
-        # quantizes the measured half-extent a little below that
-        assert pipe.canonical_half_extent == pytest.approx(0.5, abs=0.08)
+        # analytic zero-code sphere has surface radius 0.5
+        assert pipe.canonical_half_extent == pytest.approx(0.5, abs=0.06)
 
-    def test_calibrated_init_rescales_to_box(self):
+    def test_calibrated_init_rescales_to_surface_points(self):
         pipe = self._pipeline()
-        e0 = pipe.canonical_half_extent
+        r0 = pipe.canonical_half_extent
         t = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
         t[:, :3, :3] *= 2.0
+        t[:, 2, 3] = 10.0
+        rng = np.random.default_rng(0)
+        d = rng.normal(size=(120, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
 
         class DetStub:
-            box_size = np.array([3.0, 3.0, 3.0], np.float32)
+            # surface points on a radius-1.4 sphere about the center
+            surface_points = (
+                np.array([0, 0, 10.0], np.float32) + 1.4 * d
+            ).astype(np.float32)
+            num_surface_points = 120
 
-        class NoBox:
-            box_size = None
+        class NoPts:
+            surface_points = None
+            num_surface_points = 0
 
-        out = pipe._calibrated_t_init(t.copy(), [DetStub(), NoBox()])
+        out = pipe._calibrated_t_init(t.copy(), [DetStub(), NoPts()])
         s0 = np.linalg.det(out[0, :3, :3]) ** (1 / 3)
-        assert s0 == pytest.approx(1.5 / e0, rel=1e-4)
-        # detections without a box keep their original scale
+        assert s0 == pytest.approx(1.4 / r0, rel=1e-3)
+        # detections without points keep their original scale
         s1 = np.linalg.det(out[1, :3, :3]) ** (1 / 3)
         assert s1 == pytest.approx(2.0, rel=1e-4)
 
