@@ -107,6 +107,17 @@ class LocalMapper:
         c = self.cfg
         return jnp.asarray([c.fx, c.fy, c.cx, c.cy, c.bf])
 
+    def accepting_keyframes(self) -> bool:
+        """The reference's Tracking::NeedNewKeyFrame gates weak-tracking
+        keyframe insertion on LocalMapping being idle
+        (AcceptKeyFrames()): while the previous keyframe's triangulated
+        points haven't been applied yet (async_keyframe spreading), the
+        tracker's match count is temporarily depressed and the decay
+        rule would cascade extra keyframes (measured: 9 vs 5 KFs over a
+        30-frame mono run). Max-gap insertion is NOT gated, matching
+        the reference's forced c1a path."""
+        return self._pending_tri is None and self._pending_obj is None
+
     # ------------------------------------------------------------------
     def process(self, kf: KeyFrame, triangulate: bool = True):
         """One keyframe through the mapping stages.

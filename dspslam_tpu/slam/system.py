@@ -44,6 +44,9 @@ class SLAMSystem:
             object_pipeline_factory(self.map) if object_pipeline_factory else None
         )
         self.local_mapper = LocalMapper(self.map, lm_cfg, object_pipeline)
+        # NeedNewKeyFrame's AcceptKeyFrames() gate (Tracking.cc): weak-
+        # tracking KF insertion waits for pending mapping work to apply
+        self.tracker.mapper_idle_fn = self.local_mapper.accepting_keyframes
         self.detection_source = detection_source   # fn(frame_idx) -> list[Detection]
         self.loop_closer = None
         self.vocabulary = None

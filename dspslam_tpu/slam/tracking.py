@@ -156,6 +156,7 @@ class Tracker:
         self.trajectory: list[tuple[float, np.ndarray, bool]] = []
         self.relocalizer = None                   # set by the system facade
         self.localization_only = False            # tracking against a frozen map
+        self.mapper_idle_fn = None                # set by the system facade
         # pipelined-mode state (cfg.pipelined)
         self.frame_seq = 0                        # per-call sequence index
         self._current_seq = -1                    # seq of the frame being finalized
@@ -993,6 +994,13 @@ class Tracker:
         if self.frames_since_kf >= self.cfg.max_frames_between_kf:
             return True
         if self.frames_since_kf < max(self.cfg.min_frames_between_kf, 2):
+            return False
+        # decay-rule insertions require the local mapper to be idle
+        # (reference NeedNewKeyFrame's AcceptKeyFrames() gate): with
+        # async keyframe spreading, tracked counts dip until the
+        # previous keyframe's triangulated points apply, and inserting
+        # on that dip cascades keyframes
+        if self.mapper_idle_fn is not None and not self.mapper_idle_fn():
             return False
         ref_matches = int((self.ref_kf.map_point_ids >= 0).sum())
         tracked = int((frame.map_point_ids >= 0).sum())
