@@ -609,6 +609,9 @@ def main_mono(args):
         min_init_features=400, max_frames_between_kf=5,
         search_radius_motion=25.0,
         pipelined=not args.no_pipeline,
+        # throughput mode hides the per-frame fetch RTT with a second
+        # in-flight frame; real-time paced mode keeps the 1-frame lag
+        pipeline_depth=1 if args.paced else 2,
     )
     from ..slam.local_mapping import LocalMapperConfig
 

@@ -75,6 +75,13 @@ class TrackerConfig:
     # reference's decoupled tracking/mapping threads. Callers must
     # flush() at sequence end.
     pipelined: bool = False
+    # frames in flight before a result is finalized (pipelined mode).
+    # 1 = the classic one-frame lag. 2 hides a full fetch round trip on
+    # relay-attached devices (profile_mono: ~45-65 ms of un-overlapped
+    # RTT per frame at depth 1) at the cost of one more frame of
+    # host-side latency — use for throughput-bound offline/mono runs;
+    # real-time paced loops should stay at 1.
+    pipeline_depth: int = 1
 
     @property
     def intrinsics(self):
@@ -161,7 +168,7 @@ class Tracker:
         self.frame_seq = 0                        # per-call sequence index
         self._current_seq = -1                    # seq of the frame being finalized
         self._chain = None                        # device-side chain state tuple
-        self._inflight = None                     # dispatched-not-finalized frame
+        self._inflight: list = []                 # dispatched-not-finalized FIFO
         self._inflight_poisoned = False           # chain broke; redo from images
 
     # ------------------------------------------------------------------
@@ -323,17 +330,19 @@ class Tracker:
         )
 
     def _redo_poisoned(self):
-        """Re-track a poisoned in-flight frame synchronously from its
-        retained image handles (its device chain was rejected)."""
-        h = self._inflight
-        self._inflight = None
+        """Re-track the poisoned in-flight frames synchronously, in
+        order, from their retained image handles (their device chain
+        was rejected). Returns the last recovered frame."""
+        q, self._inflight = self._inflight, []
         self._inflight_poisoned = False
         out = None
-        if (
-            self.state == State.OK and self.velocity is not None
-            and self.last_frame is not None and self.ref_kf is not None
-        ):
-            cur_seq = self._current_seq
+        cur_seq = self._current_seq
+        for h in q:
+            if not (
+                self.state == State.OK and self.velocity is not None
+                and self.last_frame is not None and self.ref_kf is not None
+            ):
+                break
             self._current_seq = h["seq"]
             if h["mode"] == "stereo":
                 out = self._process_stereo_fused(*h["imgs"], h["timestamp"])
@@ -341,13 +350,13 @@ class Tracker:
                 out = self._process_rgbd_fused(*h["imgs"], h["timestamp"])
             else:
                 out = self._process_mono_fused(h["imgs"][0], h["timestamp"])
-            self._current_seq = cur_seq
+        self._current_seq = cur_seq
         return out
 
     def _process_stereo_pipelined(self, img_l, img_r, timestamp: float):
         from . import frame_step
 
-        if self._inflight is not None and self._inflight_poisoned:
+        if self._inflight and self._inflight_poisoned:
             self._redo_poisoned()
             if self.state != State.OK:
                 return self._process_stereo_modular(img_l, img_r, timestamp)
@@ -365,26 +374,23 @@ class Tracker:
             jl, jr, jnp.float32(self.cfg.bf), jnp.float32(self.cfg.bf / 0.5),
             self.cfg.intrinsics, *self._chain, *dev,
         )
-        prev = self._inflight
-        self._inflight = {
+        self._inflight.append({
             "mode": "stereo", "seq": self._current_seq,
             "timestamp": timestamp, "imgs": (jl, jr),
             "feats_j": feats_j, "st_j": st_j, "result_j": result_j,
             "cid": cid, "cpos": cpos, "cval": cval,
-        }
+        })
         # feats stay on device: Frame materializes them lazily (only
         # keyframes read them on the host), saving their ~250 KB/frame
         # of relay download bandwidth
         _prefetch_to_host((st_j, result_j))
         self._chain = chain
-        if prev is not None:
-            return self._finalize_inflight(prev)
-        return None
+        return self._drain_inflight()
 
     def _process_mono_pipelined(self, img, timestamp: float):
         from . import frame_step
 
-        if self._inflight is not None and self._inflight_poisoned:
+        if self._inflight and self._inflight_poisoned:
             self._redo_poisoned()
             if self.state != State.OK:
                 return self._process_mono_modular(img, timestamp)
@@ -400,18 +406,24 @@ class Tracker:
             float(self.cfg.velocity_smoothing),
             j, self.cfg.intrinsics, *self._chain, *dev,
         )
-        prev = self._inflight
-        self._inflight = {
+        self._inflight.append({
             "mode": "mono", "seq": self._current_seq,
             "timestamp": timestamp, "imgs": (j,),
             "feats_j": feats_j, "st_j": None, "result_j": result_j,
             "cid": cid, "cpos": cpos, "cval": cval,
-        }
+        })
         _prefetch_to_host(result_j)
         self._chain = chain
-        if prev is not None:
-            return self._finalize_inflight(prev)
-        return None
+        return self._drain_inflight()
+
+    def _drain_inflight(self):
+        """Finalize queue entries beyond the configured pipeline depth.
+        Returns the newest finalized frame (None while filling)."""
+        out = None
+        depth = max(int(self.cfg.pipeline_depth), 1)
+        while len(self._inflight) > depth and not self._inflight_poisoned:
+            out = self._finalize_inflight(self._inflight.pop(0))
+        return out
 
     def _finalize_inflight(self, h) -> Frame:
         """Fetch + host bookkeeping for a dispatched frame (runs one
@@ -434,23 +446,22 @@ class Tracker:
         self._current_seq = cur_seq
         if not ok:
             # device chain carried a rejected pose: drop it and mark any
-            # newer in-flight frame for synchronous re-tracking
+            # newer in-flight frames for synchronous re-tracking
             self._chain = None
-            if self._inflight is not None:
+            if self._inflight:
                 self._inflight_poisoned = True
         return frame
 
     def flush(self) -> Frame | None:
-        """Drain the pipelined in-flight frame (sequence end / mode
-        switches). Returns the finalized frame, if any."""
+        """Drain all pipelined in-flight frames (sequence end / mode
+        switches). Returns the last finalized frame, if any."""
         out = None
-        if self._inflight is not None:
+        while self._inflight:
             if self._inflight_poisoned:
-                out = self._redo_poisoned()
+                out = self._redo_poisoned() or out
             else:
-                h = self._inflight
-                self._inflight = None
-                out = self._finalize_inflight(h)
+                got = self._finalize_inflight(self._inflight.pop(0))
+                out = got or out
         return out
 
     def _process_stereo_modular(self, img_l, img_r, timestamp: float) -> Frame:
@@ -535,7 +546,7 @@ class Tracker:
     def _process_rgbd_pipelined(self, img, depth, timestamp: float):
         from . import frame_step
 
-        if self._inflight is not None and self._inflight_poisoned:
+        if self._inflight and self._inflight_poisoned:
             self._redo_poisoned()
             if self.state != State.OK:
                 return self._process_rgbd_modular(img, depth, timestamp)
@@ -554,18 +565,15 @@ class Tracker:
             j, jd, jnp.float32(self.cfg.bf), self.cfg.intrinsics,
             *self._chain, *dev,
         )
-        prev = self._inflight
-        self._inflight = {
+        self._inflight.append({
             "mode": "rgbd", "seq": self._current_seq,
             "timestamp": timestamp, "imgs": (j, jd),
             "feats_j": feats_j, "st_j": st_j, "result_j": result_j,
             "cid": cid, "cpos": cpos, "cval": cval,
-        }
+        })
         _prefetch_to_host((st_j, result_j))
         self._chain = chain
-        if prev is not None:
-            return self._finalize_inflight(prev)
-        return None
+        return self._drain_inflight()
 
     def _process_rgbd_modular(self, img: np.ndarray, depth: np.ndarray,
                               timestamp: float) -> Frame:
@@ -732,7 +740,7 @@ class Tracker:
         self.new_keyframes.clear()
         self._init_ref = None
         self._chain = None
-        self._inflight = None
+        self._inflight = []
         self._inflight_poisoned = False
         self._local_cache_key = None
         self.frames_since_kf = 0

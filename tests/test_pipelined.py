@@ -46,14 +46,15 @@ def render(world, cam_x, baseline_m=0.0):
     return img
 
 
-def run(pipelined: bool, detection_log=None, async_keyframe=False):
+def run(pipelined: bool, detection_log=None, async_keyframe=False,
+        pipeline_depth=1):
     from dspslam_tpu.slam.local_mapping import LocalMapperConfig
 
     world = textured_world()
     cfg = TrackerConfig(
         fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, width=W, height=H,
         min_init_features=150, max_frames_between_kf=4,
-        pipelined=pipelined,
+        pipelined=pipelined, pipeline_depth=pipeline_depth,
     )
     lm_cfg = LocalMapperConfig(
         fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, async_keyframe=async_keyframe,
@@ -248,3 +249,22 @@ class TestKeyframeSeqIndex:
         # all keyframes alive at the end appear in the requested log
         for idx in stamped:
             assert idx in log
+
+
+class TestPipelineDepth2:
+    """Two frames in flight (pipeline_depth=2, the relay-RTT-hiding
+    mode): tracking must cover every frame and stay within the same
+    accuracy envelope as the synchronous path."""
+
+    def test_depth2_tracks_accurately(self):
+        system = run(True, pipeline_depth=2)
+        assert system.state == State.OK
+        assert len(system.tracker.trajectory) == N_FRAMES
+        true_x = np.arange(N_FRAMES) * STEP
+        est = np.array([
+            (-T[:3, :3].T @ T[:3, 3])[0]
+            for _, T, _ in system.tracker.trajectory
+        ])
+        rmse = float(np.sqrt(np.mean((est - true_x) ** 2)))
+        assert rmse < 0.05, rmse
+        assert len(system.map.keyframes) >= 2
