@@ -191,12 +191,31 @@ def make_velodyne_scan(T_wc, world, spheres_w, rng):
 
 def train_bench_decoder(steps: int, quiet=False):
     """The reference's decoder architecture, trained on spheres at
-    startup (untimed) — see the module docstring."""
+    startup (untimed) — see the module docstring. The fit is
+    deterministic (seed 0), so it caches to /tmp next to the XLA
+    compile cache: on a degraded relay the 600-step fit measured 436 s
+    (28 s healthy), and bench.py's stall retry pays it again."""
+    import os
+
     from ..models import deepsdf_train
 
     cfg = deepsdf.DecoderConfig(
         code_len=CODE_LEN, hidden=(512,) * 8, latent_in=(4,)
     )
+    cache = f"/tmp/dspslam_bench_decoder_c{CODE_LEN}_s{steps}.npz"
+    if os.path.exists(cache):
+        try:
+            data = np.load(cache)
+            n = int(data["n_layers"])
+            params = {
+                "w": [np.asarray(data[f"w{i}"]) for i in range(n)],
+                "b": [np.asarray(data[f"b{i}"]) for i in range(n)],
+            }
+            if not quiet:
+                print(f"decoder fit: cached ({cache})")
+            return deepsdf.make_decoder_fn(cfg), params
+        except Exception:
+            pass
     t0 = time.perf_counter()
     params, _, loss = deepsdf_train.fit_spheres(
         cfg, num_shapes=5, steps=steps, batch=8192, seed=0
@@ -204,6 +223,14 @@ def train_bench_decoder(steps: int, quiet=False):
     if not quiet:
         print(f"decoder fit: {steps} steps, L1 {loss:.4f}, "
               f"{time.perf_counter() - t0:.1f} s")
+    try:
+        arrs = {"n_layers": len(params["w"])}
+        for i, (w, b) in enumerate(zip(params["w"], params["b"])):
+            arrs[f"w{i}"] = np.asarray(w)
+            arrs[f"b{i}"] = np.asarray(b)
+        np.savez(cache, **arrs)
+    except Exception:
+        pass
     return deepsdf.make_decoder_fn(cfg), params
 
 
