@@ -14,7 +14,15 @@ XLA everything here is fixed-shape:
 * the expensive SDF input-Jacobians are computed only for a static-K
   subset of samples selected by `top_k` on the "has gradient" criterion
   (|sdf| < cutoff and de/do > 1e-2 — the same live set the reference
-  gathers dynamically, loss.py:88-90, 124-126).
+  gathers dynamically, loss.py:88-90, 124-126). The band is
+  geometrically thin (|sdf| < cutoff spans ~1 depth sample per
+  surface-crossing ray), so at reference caps (512 rays x 50 samples)
+  it holds ~250 samples and the default K=1024 captures ALL of them —
+  the selection is lossless and the GN optimum matches the full
+  (K = R*S) Jacobian up to f32 summation order. K must exceed the
+  in-band count: below it (K <~ 250 here) real gradient rows truncate
+  and the trajectory departs (tests/test_render_jacobian_subset.py
+  pins both sides).
 
 Each block returns (J, res, mask) with J already in the [pose(7) | code]
 column layout used by the Gauss-Newton assembly.
