@@ -39,11 +39,29 @@ def _build_array_tree(
     desc_u32: np.ndarray, weights: np.ndarray,
 ) -> Vocabulary:
     """Lay out DBoW2 nodes (1-based ids, root=0 omitted) in the
-    complete-tree array form with validity masks."""
+    complete-tree array form with validity masks.
+
+    Fully vectorized: the reference vocabulary is 10^6 words / 1.1M
+    nodes (System.cc:76-87), where a per-node Python loop took ~11 s;
+    this level-synchronous numpy version lays the same tree out in
+    <1 s (tools/vocab_reference_scale.py records the numbers)."""
     n_nodes_file = len(parents)
+    node_ids = np.arange(1, n_nodes_file + 1)
     # children in file order (DBoW2 pushes back as it reads — the scan
-    # order its transform() uses, which argmin tie-breaking must match)
+    # order its transform() uses, which argmin tie-breaking must match):
+    # rank of each node within its parent's child list
     order = np.argsort(parents, kind="stable")
+    sorted_parents = parents[order]
+    group_start = np.zeros(n_nodes_file, np.int64)
+    if n_nodes_file > 1:
+        firsts = np.nonzero(np.diff(sorted_parents))[0] + 1
+        group_start[firsts] = firsts
+        np.maximum.accumulate(group_start, out=group_start)
+    rank = np.empty(n_nodes_file, np.int64)
+    rank[order] = np.arange(n_nodes_file) - group_start
+    if (rank >= K).any():
+        bad = int(parents[rank >= K][0])
+        raise ValueError(f"node {bad} has more than K={K} children")
     # word ids in file order of the leaves (TemplatedVocabulary.h:1421)
     word_of_node = np.full(n_nodes_file + 1, -1, np.int64)
     word_of_node[1:][is_leaf > 0] = np.arange(int(is_leaf.sum()))
@@ -56,36 +74,45 @@ def _build_array_tree(
         [[0], np.cumsum([K ** (l + 1) for l in range(L)])]
     )
 
-    # BFS: slot of node within its level; root is virtual slot 0 @ level -1
+    # level-synchronous BFS: slot within level; root = virtual slot 0
     slot = np.full(n_nodes_file + 1, -1, np.int64)
     level_of = np.full(n_nodes_file + 1, -1, np.int64)
     slot[0] = 0
-    level_of[0] = -1
-    child_rank: dict[int, int] = {}
-    for nid in order + 1:           # node ids are 1-based; order indexes rows
-        pid = int(parents[nid - 1])
-        rank = child_rank.get(pid, 0)
-        child_rank[pid] = rank + 1
-        if rank >= K:
-            raise ValueError(f"node {pid} has more than K={K} children")
-        lvl = level_of[pid] + 1
-        if lvl >= L:
-            raise ValueError(f"tree deeper than L={L}")
-        s = slot[pid] * K + rank
-        level_of[nid] = lvl
-        slot[nid] = s
-        row = level_offset[lvl] + s
-        centers[row] = desc_u32[nid - 1]
-        valid[row] = 1.0
-        if is_leaf[nid - 1]:
-            # extend early leaves to the bottom level via self-copies
-            ss = s
-            for deeper in range(lvl + 1, L):
-                ss = ss * K
-                rr = level_offset[deeper] + ss
-                centers[rr] = desc_u32[nid - 1]
-                valid[rr] = 1.0
-            leaf_word[ss] = word_of_node[nid]
+    in_frontier = np.zeros(n_nodes_file + 1, bool)
+    in_frontier[0] = True
+    placed = 0
+    for lvl in range(L):
+        mask = in_frontier[parents]            # children of current frontier
+        children = node_ids[mask]
+        if len(children) == 0:
+            break
+        s = slot[parents[mask]] * K + rank[mask]
+        level_of[children] = lvl
+        slot[children] = s
+        rows = level_offset[lvl] + s
+        centers[rows] = desc_u32[mask]
+        valid[rows] = 1.0
+        placed += len(children)
+        in_frontier[:] = False
+        in_frontier[children] = True
+    if placed != n_nodes_file:
+        raise ValueError(f"tree deeper than L={L}")
+
+    # extend early leaves (words above the bottom level) to the bottom
+    # via self-copy chains, one vectorized scatter per (level, depth)
+    leaf_nodes = node_ids[is_leaf > 0]
+    leaf_lvl = level_of[leaf_nodes]
+    for lvl in range(L):
+        at = leaf_nodes[leaf_lvl == lvl]
+        if len(at) == 0:
+            continue
+        ss = slot[at]
+        for deeper in range(lvl + 1, L):
+            ss = ss * K
+            rr = level_offset[deeper] + ss
+            centers[rr] = desc_u32[at - 1]
+            valid[rr] = 1.0
+        leaf_word[ss] = word_of_node[at]
 
     n_words = int(is_leaf.sum())
     word_weights = np.zeros(n_words, np.float32)

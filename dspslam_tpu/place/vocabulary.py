@@ -158,17 +158,34 @@ class Vocabulary:
         return Vocabulary.load(path)
 
     # ------------------------------------------------------------------
+    def _device_tree(self):
+        """Device-resident centers/valid, cached across queries: the
+        reference-scale tree is ~36 MB (10^6 words) — re-uploading it per
+        keyframe query would dwarf the descent itself on a relay-attached
+        TPU. Keyed on the numpy array's identity (centers never mutate
+        after construction; word_weights may)."""
+        cache = getattr(self, "_dev", None)
+        if cache is None or cache[0] is not self.centers:
+            cents = jnp.asarray(self.centers)
+            val = (
+                jnp.asarray(self.valid, jnp.float32)
+                if self.valid is not None else None
+            )
+            cache = (self.centers, cents, val)
+            self._dev = cache
+        return cache[1], cache[2]
+
     def assign_words(self, descriptors: np.ndarray) -> np.ndarray:
         """(N, 8) -> (N,) word ids, batched tree descent."""
+        cents, val = self._device_tree()
         if self.valid is None:
             leaves = _assign_words_jit(
-                jnp.asarray(descriptors), jnp.asarray(self.centers),
+                jnp.asarray(descriptors), cents,
                 self.branching, self.levels,
             )
             return np.asarray(leaves)
         leaves = _assign_words_masked_jit(
-            jnp.asarray(descriptors), jnp.asarray(self.centers),
-            jnp.asarray(self.valid, jnp.float32),
+            jnp.asarray(descriptors), cents, val,
             self.branching, self.levels,
         )
         return self.leaf_word[np.asarray(leaves)]
