@@ -86,15 +86,54 @@ class ObjectPipeline:
         self._pending_meshes: list = []
 
     # ------------------------------------------------------------------
+    def warmup_buckets(self, buckets=None):
+        """Compile every pow-2 batch bucket of both GN programs up front.
+        The batched measure/recon programs are cached per batch size
+        (see _bucket); without this, the keyframe whose object count
+        first crosses a bucket boundary pays a multi-second mid-run
+        compile (measured 6.5 s inside kf_obj_dispatch on the axon
+        chip). Mirrors LocalMapper.warmup_ba_buckets."""
+        B_cap, P, R = self.caps
+        if buckets is None:
+            buckets = []
+            b = 1
+            while b <= B_cap:
+                buckets.append(b)
+                b *= 2
+        L = self.cfg.code_len
+        for B in buckets:
+            eye = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+            eye[:, 2, 3] = 8.0
+            pose_out = self.batched_pose(
+                self.decoder_params, jnp.asarray(eye), jnp.ones(B),
+                jnp.zeros((B, P, 3)), jnp.zeros((B, P)), jnp.zeros((B, L)),
+            )
+            recon_out = self.batched_recon(
+                self.decoder_params, jnp.asarray(eye),
+                jnp.zeros((B, P, 3)), jnp.zeros((B, P)),
+                jnp.full((B, R, 3), np.array([0, 0, 1.0], np.float32)),
+                jnp.zeros((B, R)), jnp.full((B, R), 8.0), jnp.zeros((B, R)),
+                jnp.zeros((B, L)),
+            )
+            np.asarray(pose_out["t_cam_obj"])
+            np.asarray(recon_out["loss"])
+
     def process_keyframe(self, kf, local_kf_ids: list[int]):
         """Run association + measurement GN + new-object reconstruction."""
         pending = self.dispatch_keyframe(kf, local_kf_ids)
         self.apply_keyframe(kf, pending)
 
-    def collect_meshes(self):
-        """Finalize deferred mesh extractions (called at the next
-        keyframe and at flush; see _apply_recon)."""
-        pending, self._pending_meshes = self._pending_meshes, []
+    def collect_meshes(self, limit: int | None = None):
+        """Finalize deferred mesh extractions. The local mapper's idle
+        polls call this with limit=1 so each marching-tetrahedra run
+        (host) lands on an otherwise-clean frame, overlapping the next
+        frame's already-dispatched device program; flush() drains the
+        rest (see _apply_recon)."""
+        n = len(self._pending_meshes) if limit is None \
+            else min(limit, len(self._pending_meshes))
+        pending, self._pending_meshes = (
+            self._pending_meshes[:n], self._pending_meshes[n:]
+        )
         for obj, handle in pending:
             if obj.bad:
                 continue

@@ -60,7 +60,7 @@ def keyframe_matching(
     kf_T_cw: jnp.ndarray,      # (4, 4)
     kf_has_pt: jnp.ndarray,    # (N,) 1.0 where the keypoint already has a point
     kf_depth_pos: jnp.ndarray, # (N,) 1.0 where stereo depth already covers it
-    nb_feats: dict,            # neighbor features stacked (2, N, ...)
+    nb_feats_list: tuple,      # M per-neighbor feature dicts (device-resident)
     nb_T_cw: jnp.ndarray,      # (2, 4, 4)
     nb_has_pt: jnp.ndarray,    # (2, N)
     nb_ok: jnp.ndarray,        # (2,) neighbor exists + enough baseline
@@ -76,7 +76,17 @@ def keyframe_matching(
     Everything data-dependent is resolved on device: matching, DLT
     triangulation, cheirality and reprojection gates. The host receives
     (idx, X, valid) per neighbor and mints map points for valid slots.
+
+    nb_feats_list is stacked INSIDE the program: on relay-attached
+    chips every eager op is its own dispatch, and the former host-side
+    zeros_like + per-key jnp.stack cost 0.4-0.7 s of queue round trips
+    per keyframe (measured via the stage telemetry). Empty slots carry
+    the keyframe's own feats as filler — masked out by nb_ok=0.
     """
+    nb_feats = {
+        k: jnp.stack([d[k] for d in nb_feats_list])
+        for k in nb_feats_list[0]
+    }
     fx, fy, cx, cy = [intrinsics[i] for i in range(4)]
     width, height = 2.0 * cx, 2.0 * cy
     P_kf = _projection_matrix(intrinsics, kf_T_cw)

@@ -11,8 +11,10 @@ program.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import logging
+import time
 
 import jax.numpy as jnp
 import numpy as np
@@ -42,6 +44,19 @@ def ba_point_bucket(n: int) -> int:
         if n <= b:
             return b
     return BA_PT_BUCKETS[-1]
+
+
+def _results_ready(tree) -> bool:
+    """True when every device array in a pending-result pytree has
+    finished computing (jax.Array.is_ready — 0.1 ms over the axon relay,
+    measured). Poll-time applies use this to never block a frame on
+    in-flight compute; non-array leaves (host numpy, metadata) pass."""
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if isinstance(leaf, jax.Array) and not leaf.is_ready():
+            return False
+    return True
 
 
 @dataclasses.dataclass
@@ -87,6 +102,13 @@ class LocalMapperConfig:
     # is semantically the reference's mapping-thread lag. Only takes
     # effect with async_keyframe (the spread-the-keyframe mode).
     async_objects: bool = False
+    # Camera-object SE3 edges in local BA (the paper's joint
+    # factor-graph claim; reference Optimizer_util.cc:309-430 builds
+    # EdgeSE3LieAlgebra camera<->object edges into the same solve as
+    # point edges). Off = points-only BA with object poses frozen at
+    # their per-keyframe GN measurements — the A/B arm the benchmark
+    # uses to RECORD the joint-BA payoff instead of asserting it.
+    ba_objects: bool = True
 
 
 class LocalMapper:
@@ -101,11 +123,29 @@ class LocalMapper:
         self._pending_obj = None      # (kf, obj_pending) awaiting apply
         self._ba_kf = None            # KF whose BA dispatch awaits tri apply
         self._skip_polls = 0          # freshness: let dispatched work overlap
+        self._intrinsics_dev = None   # device-resident [fx fy cx cy bf]
+        self.telemetry = None         # optional utils.timing.StageTimer
+
+    @contextlib.contextmanager
+    def _span(self, name: str):
+        """Attribute a mapping sub-stage's host wall time (no device
+        sync — dispatches record their enqueue cost, applies record the
+        fetch+writeback they actually pay)."""
+        if self.telemetry is None:
+            yield
+            return
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.telemetry.add(name, time.perf_counter() - t0)
 
     @property
     def intrinsics(self):
-        c = self.cfg
-        return jnp.asarray([c.fx, c.fy, c.cx, c.cy, c.bf])
+        if self._intrinsics_dev is None:
+            c = self.cfg
+            self._intrinsics_dev = jnp.asarray([c.fx, c.fy, c.cx, c.cy, c.bf])
+        return self._intrinsics_dev
 
     def accepting_keyframes(self) -> bool:
         """The reference's Tracking::NeedNewKeyFrame gates weak-tracking
@@ -115,8 +155,11 @@ class LocalMapper:
         tracker's match count is temporarily depressed and the decay
         rule would cascade extra keyframes (measured: 9 vs 5 KFs over a
         30-frame mono run). Max-gap insertion is NOT gated, matching
-        the reference's forced c1a path."""
-        return self._pending_tri is None and self._pending_obj is None
+        the reference's forced c1a path. Only pending TRIANGULATION
+        gates: object-GN applies don't feed tracked counts, and holding
+        keyframes for them just delayed insertion once polls became
+        readiness-aware (objects wait several frames for GN compute)."""
+        return self._pending_tri is None
 
     # ------------------------------------------------------------------
     def process(self, kf: KeyFrame, triangulate: bool = True):
@@ -130,95 +173,130 @@ class LocalMapper:
         these as ~8 dispatch->fetch->host->dispatch cycles (~0.6 s
         keyframe stalls on relay-attached chips).
         """
-        self.flush()                 # drain anything from the previous KF
-        if self.object_pipeline is not None:
-            # meshes dispatched at the previous keyframe finalize here
-            # (their decode + host transfer overlapped the frames since)
-            collect = getattr(self.object_pipeline, "collect_meshes", None)
-            if collect is not None:
-                collect()
+        with self._span("kf_flush_prev"):
+            self.flush()             # drain anything from the previous KF
         self.map.update_covisibility(kf)
         self._cull_points(kf)
-        obj_pending = None
-        if self.object_pipeline is not None:
-            local_ids = self.map.local_keyframes(kf, self.cfg.window)
-            obj_pending = self.object_pipeline.dispatch_keyframe(kf, local_ids)
         needs_fresh_points = getattr(
             self.object_pipeline, "uses_map_points", False
         )
         defer = self.cfg.async_keyframe and not needs_fresh_points
         tri_sync = None
-        if defer:
-            self._pending_tri = self._dispatch_triangulate(kf, triangulate)
-            if self._pending_tri is not None:
-                from .tracking import _prefetch_to_host
+        # tri dispatch FIRST: its single program is cheap to enqueue and
+        # small to run; dispatching it behind the object GN programs made
+        # the enqueue pay the relay's flow-control backpressure from that
+        # heavy queue (stage telemetry: tri_call 0.45-0.86 s when queued
+        # after objects vs ~10 ms when the queue is shallow)
+        with self._span("kf_tri_dispatch"):
+            if defer:
+                self._pending_tri = self._dispatch_triangulate(kf, triangulate)
+                if self._pending_tri is not None:
+                    from .tracking import _prefetch_to_host
 
-                _prefetch_to_host(self._pending_tri["out"])
-        elif needs_fresh_points:
-            # mono association votes with map points: triangulation must
-            # land before the object stage
-            self._triangulate_and_fuse(kf, triangulate)
-        else:
-            # sync path, interleaved: fetch triangulation AFTER the
-            # object-stage apply so its compute + host transfer overlap
-            # that host work (the object GN programs precede it in the
-            # device queue either way)
-            tri_sync = self._dispatch_triangulate(kf, triangulate)
-            if tri_sync is not None:
-                from .tracking import _prefetch_to_host
+                    _prefetch_to_host(self._pending_tri["out"])
+            elif needs_fresh_points:
+                # mono association votes with map points: triangulation
+                # must land before the object stage
+                self._triangulate_and_fuse(kf, triangulate)
+            else:
+                # sync path, interleaved: fetch triangulation AFTER the
+                # object-stage apply so its compute + host transfer
+                # overlap that host work
+                tri_sync = self._dispatch_triangulate(kf, triangulate)
+                if tri_sync is not None:
+                    from .tracking import _prefetch_to_host
 
-                _prefetch_to_host(tri_sync["out"])
+                    _prefetch_to_host(tri_sync["out"])
+        obj_pending = None
+        if self.object_pipeline is not None:
+            local_ids = self.map.local_keyframes(kf, self.cfg.window)
+            with self._span("kf_obj_dispatch"):
+                obj_pending = self.object_pipeline.dispatch_keyframe(
+                    kf, local_ids
+                )
         if self.object_pipeline is not None:
             if defer and self.cfg.async_objects:
                 # fetch the measure/recon GN results at the next poll —
                 # their compute overlaps the frames in between
                 self._pending_obj = (kf, obj_pending)
             else:
-                self.object_pipeline.apply_keyframe(kf, obj_pending)
+                with self._span("obj_apply"):
+                    self.object_pipeline.apply_keyframe(kf, obj_pending)
         if tri_sync is not None:
-            self._apply_triangulate(tri_sync)
+            with self._span("tri_apply"):
+                self._apply_triangulate(tri_sync)
         if defer:
             # BA must see the triangulated points: dispatched by poll()
             # right after the triangulation applies
             self._ba_kf = kf
             self._skip_polls = 1
         elif self.cfg.async_ba:
-            self._pending_ba = self.dispatch_bundle_adjust(kf)
-            if self._pending_ba is not None:
-                from .tracking import _prefetch_to_host
+            with self._span("ba_dispatch"):
+                self._pending_ba = self.dispatch_bundle_adjust(kf)
+                if self._pending_ba is not None:
+                    from .tracking import _prefetch_to_host
 
-                _prefetch_to_host(self._pending_ba["out"])
+                    _prefetch_to_host(self._pending_ba["out"])
             self._skip_polls = 1
         else:
-            self.local_bundle_adjust(kf)
+            with self._span("ba_sync"):
+                self.local_bundle_adjust(kf)
         self._cull_keyframes(kf)
 
     def poll(self):
         """One deferred-stage step; called once per tracked frame
-        (System.track_*). Applies at most one pending result so each
-        frame absorbs a bounded slice of keyframe work; a just-
-        dispatched program gets one frame of overlap before its fetch."""
+        (System.track_*). Applies at most one pending result per frame
+        so each frame absorbs a bounded slice of keyframe work — and
+        ONLY results whose device programs have finished (is_ready(),
+        0.1 ms over the relay): an apply never blocks a frame waiting
+        on compute. flush() at the next keyframe force-drains whatever
+        never signalled ready, bounding staleness at the KF interval."""
         if self._skip_polls > 0:
             self._skip_polls -= 1
             return
-        if self._pending_obj is not None:
-            (kf, obj_pending), self._pending_obj = self._pending_obj, None
-            self.object_pipeline.apply_keyframe(kf, obj_pending)
-            return
+        # triangulation first: cheap to apply, unblocks BA dispatch and
+        # the AcceptKeyFrames gate
         if self._pending_tri is not None:
+            if not _results_ready(self._pending_tri["out"]):
+                return
             pending, self._pending_tri = self._pending_tri, None
-            self._apply_triangulate(pending)
+            with self._span("tri_apply"):
+                self._apply_triangulate(pending)
             if self._ba_kf is not None:
                 kf, self._ba_kf = self._ba_kf, None
                 if not kf.bad:
                     if self.cfg.async_ba:
-                        self._pending_ba = self.dispatch_bundle_adjust(kf)
+                        with self._span("ba_dispatch"):
+                            self._pending_ba = self.dispatch_bundle_adjust(kf)
                         self._skip_polls = 1
                     else:
-                        self.local_bundle_adjust(kf)
+                        with self._span("ba_sync"):
+                            self.local_bundle_adjust(kf)
+            return
+        if self._pending_obj is not None:
+            if not _results_ready(self._pending_obj[1]):
+                return
+            (kf, obj_pending), self._pending_obj = self._pending_obj, None
+            with self._span("obj_apply"):
+                self.object_pipeline.apply_keyframe(kf, obj_pending)
             return
         if self._pending_ba is not None:
-            self.apply_pending_ba()
+            if not _results_ready(self._pending_ba["out"]):
+                return
+            with self._span("ba_apply"):
+                self.apply_pending_ba()
+            return
+        # idle poll: finalize ONE deferred mesh — its voxel decode +
+        # host transfer overlapped the frames since its keyframe, and
+        # collecting here keeps marching tetrahedra (host) off the
+        # keyframe critical path entirely (the next frame's device
+        # program is already dispatched when poll runs)
+        pipeline = self.object_pipeline
+        if pipeline is not None and getattr(pipeline, "_pending_meshes", None):
+            if not _results_ready(pipeline._pending_meshes[0][1]):
+                return
+            with self._span("mesh_collect"):
+                pipeline.collect_meshes(limit=1)
 
     def apply_pending_ba(self):
         """Fetch + write back the previous keyframe's BA solve, if any."""
@@ -334,13 +412,12 @@ class LocalMapper:
         duplicate fusion (SearchInNeighbors + ORBmatcher::Fuse) in ONE
         fused device program (slam.keyframe_step), dispatch only; the
         host applies the pre-validated results in _apply_triangulate."""
-        import jax.numpy as jnp
-
         from ..slam.map import MapPoint
         from . import keyframe_step
 
         c = self.cfg
         N = kf.n
+        _t0 = time.perf_counter()
 
         # up to MAX_NEIGHBORS triangulation partners with real baseline
         neighbors = []
@@ -383,19 +460,22 @@ class LocalMapper:
 
         if not neighbors and not n_f:
             return None
+        if self.telemetry is not None:
+            self.telemetry.add("tri_host_prep", time.perf_counter() - _t0)
+            _t0 = time.perf_counter()
 
-        # neighbor feats stack ON DEVICE from each keyframe's resident
-        # copy (feats_jax) — the padded host stack used to re-upload up
-        # to M x ~250 KB per keyframe over the relay. Empty slots are
-        # zeros (masked out by nb_ok=0 in the device program). Built
-        # after the early-out so no-op keyframes cost no relay traffic.
+        # neighbor feats enter the device program as a tuple of each
+        # keyframe's RESIDENT copy (feats_jax); the stack happens inside
+        # the jitted program. Eager stacking here used to cost 0.4-0.7 s
+        # of per-op relay dispatches per keyframe (stage telemetry
+        # tri_feats_stack). Empty slots reuse kf's own feats, masked by
+        # nb_ok=0. Built after the early-out so no-op keyframes cost no
+        # relay traffic.
         kf_dev = kf.feats_jax()
-        zeros = {k: jnp.zeros_like(v) for k, v in kf_dev.items()}
-        nb_dev = [
-            (neighbors[i].feats_jax() if i < len(neighbors) else zeros)
+        nb_list = tuple(
+            (neighbors[i].feats_jax() if i < len(neighbors) else kf_dev)
             for i in range(M)
-        ]
-        nb_feats = {k: jnp.stack([d[k] for d in nb_dev]) for k in kf_dev}
+        )
         nb_T = np.tile(np.eye(4, dtype=np.float32), (M, 1, 1))
         nb_has = np.ones((M, N), np.float32)
         nb_ok = np.zeros(M, np.float32)
@@ -406,18 +486,19 @@ class LocalMapper:
 
         out = keyframe_step.keyframe_matching(
             kf_dev,           # reuses the on-device copy (no re-upload)
-            jnp.asarray(kf.T_cw),
+            kf.T_cw,
             (kf.map_point_ids >= 0).astype(np.float32),
             (
                 (kf.depth > 0).astype(np.float32)
                 if kf.depth is not None else np.zeros(N, np.float32)
             ),
-            nb_feats,
-            jnp.asarray(nb_T), jnp.asarray(nb_has), jnp.asarray(nb_ok),
-            jnp.asarray(fuse_pos), jnp.asarray(fuse_valid),
-            jnp.asarray(fuse_desc), jnp.zeros(C, jnp.int32),
+            nb_list,
+            nb_T, nb_has, nb_ok,
+            fuse_pos, fuse_valid, fuse_desc, np.zeros(C, np.int32),
             self.intrinsics,
         )
+        if self.telemetry is not None:
+            self.telemetry.add("tri_call", time.perf_counter() - _t0)
         return {"out": out, "kf": kf, "neighbors": neighbors,
                 "pts": pts, "n_f": n_f}
 
@@ -637,7 +718,11 @@ class LocalMapper:
         # objects in the window -> joint BA edges
         obj_state = None
         obj_ids = []
-        for kf_id in window_ids:
+        if not self.cfg.ba_objects:
+            window_ids_for_objects = []
+        else:
+            window_ids_for_objects = window_ids
+        for kf_id in window_ids_for_objects:
             okf = self.map.keyframes[kf_id]
             for obj_id in okf.object_associations.values():
                 obj = self.map.objects.get(obj_id)

@@ -12,6 +12,7 @@ skipped).
 from __future__ import annotations
 
 import os
+import time
 
 import numpy as np
 
@@ -52,6 +53,18 @@ class SLAMSystem:
         self.vocabulary = None
         self.kf_db = None
         self.frame_idx = 0
+        self.telemetry = None          # optional utils.timing.StageTimer
+
+    def attach_telemetry(self, timer):
+        """Per-stage wall-clock attribution (dsp_slam.cc:76-115 chrono
+        prints): every track_* call splits into tracker dispatch+fetch,
+        keyframe drain (detectors + object GN + triangulation dispatch)
+        and background poll (deferred applies). The local mapper adds
+        its sub-stage spans to the same timer — together they make the
+        benchmark artifact self-attributing (a slow run shows WHERE)."""
+        self.telemetry = timer
+        self.local_mapper.telemetry = timer
+        self.tracker.telemetry = timer
 
     def attach_vocabulary(self, vocabulary):
         """Always-on KeyFrameDatabase + Relocalizer. The reference takes
@@ -91,23 +104,39 @@ class SLAMSystem:
 
     # ------------------------------------------------------------------
     def track_stereo(self, img_l, img_r, timestamp: float):
-        frame = self.tracker.process_stereo(img_l, img_r, timestamp)
-        self._drain_keyframes()
-        self._poll_background()
-        self.frame_idx += 1
-        return frame
+        return self._track_common(
+            lambda: self.tracker.process_stereo(img_l, img_r, timestamp)
+        )
 
     def track_mono(self, img, timestamp: float):
-        frame = self.tracker.process_mono(img, timestamp)
-        self._drain_keyframes()
-        self._poll_background()
-        self.frame_idx += 1
-        return frame
+        return self._track_common(
+            lambda: self.tracker.process_mono(img, timestamp)
+        )
 
     def track_rgbd(self, img, depth, timestamp: float):
-        frame = self.tracker.process_rgbd(img, depth, timestamp)
-        self._drain_keyframes()
-        self._poll_background()
+        return self._track_common(
+            lambda: self.tracker.process_rgbd(img, depth, timestamp)
+        )
+
+    def _track_common(self, track_fn):
+        tel = self.telemetry
+        if tel is None:
+            frame = track_fn()
+            self._drain_keyframes()
+            self._poll_background()
+        else:
+            t0 = time.perf_counter()
+            frame = track_fn()
+            t1 = time.perf_counter()
+            tel.add("track", t1 - t0)
+            self._drain_keyframes()
+            t2 = time.perf_counter()
+            if t2 - t1 > 1e-4:          # only frames that did KF work
+                tel.add("keyframe_drain", t2 - t1)
+            self._poll_background()
+            t3 = time.perf_counter()
+            if t3 - t2 > 1e-4:
+                tel.add("background_poll", t3 - t2)
         self.frame_idx += 1
         return frame
 

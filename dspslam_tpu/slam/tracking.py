@@ -164,6 +164,10 @@ class Tracker:
         self.relocalizer = None                   # set by the system facade
         self.localization_only = False            # tracking against a frozen map
         self.mapper_idle_fn = None                # set by the system facade
+        self.telemetry = None                     # optional StageTimer:
+        # result_fetch spans = the frame's device->host wait, the
+        # in-run relay-health signal (host compute stays flat when the
+        # wire sags, so fetch p95 attributes a slow run to link vs work)
         # pipelined-mode state (cfg.pipelined)
         self.frame_seq = 0                        # per-call sequence index
         self._current_seq = -1                    # seq of the frame being finalized
@@ -225,7 +229,12 @@ class Tracker:
             *dev,
         )
         # ONE round trip for everything the host needs this frame
+        import time as _time
+
+        t0 = _time.perf_counter()
         feats, st, result = jax.device_get((feats_j, st_j, result_j))
+        if self.telemetry is not None:
+            self.telemetry.add("result_fetch", _time.perf_counter() - t0)
         frame = Frame(timestamp, feats, depth=st["depth"], u_right=st["u_right"])
         frame, _ = self._apply_fused_result(frame, result, cid, cpos, cval)
         return frame
@@ -428,6 +437,9 @@ class Tracker:
     def _finalize_inflight(self, h) -> Frame:
         """Fetch + host bookkeeping for a dispatched frame (runs one
         frame behind in pipelined mode)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         if h["st_j"] is not None:
             st, result = jax.device_get((h["st_j"], h["result_j"]))
             frame = Frame(
@@ -437,6 +449,8 @@ class Tracker:
         else:
             result = jax.device_get(h["result_j"])
             frame = Frame(h["timestamp"], h["feats_j"])
+        if self.telemetry is not None:
+            self.telemetry.add("result_fetch", _time.perf_counter() - t0)
         cur_seq = self._current_seq
         self._current_seq = h["seq"]
         frame, ok = self._apply_fused_result(

@@ -35,15 +35,37 @@ class StageTimer:
                 jax.device_get(target)
             self.samples[name].append(time.perf_counter() - t0)
 
+    def add(self, name: str, seconds: float):
+        """Record an externally-timed sample."""
+        self.samples[name].append(seconds)
+
     def report(self) -> dict:
         return {
             name: {
                 "median_ms": float(np.median(v) * 1e3),
                 "mean_ms": float(np.mean(v) * 1e3),
+                "p95_ms": float(np.percentile(v, 95) * 1e3),
+                "max_ms": float(np.max(v) * 1e3),
+                "total_ms": float(np.sum(v) * 1e3),
                 "count": len(v),
             }
             for name, v in self.samples.items()
         }
+
+    def summary_ms(self) -> dict:
+        """Flat {stage: rounded p50/p95/total} dict sized for a bench
+        JSON line — the self-attribution record the driver artifact
+        carries (median/p95 locate the cost; total attributes the run's
+        wall clock to stages)."""
+        out = {}
+        for name, s in sorted(self.report().items()):
+            out[name] = {
+                "p50": round(s["median_ms"], 1),
+                "p95": round(s["p95_ms"], 1),
+                "total": round(s["total_ms"], 1),
+                "n": s["count"],
+            }
+        return out
 
     def __str__(self):
         rows = [
