@@ -80,6 +80,7 @@ class LoopCloser:
         consistency: int = 3,
         min_matches: int = 15,
         db: KeyFrameDatabase | None = None,
+        min_total_matches: int | None = None,
     ):
         self.map = slam_map
         self.voc = voc
@@ -89,8 +90,18 @@ class LoopCloser:
         self.fix_scale = fix_scale
         self.consistency = consistency
         self.min_matches = min_matches
+        # acceptance needs this many CURRENT-KF keypoints matched to the
+        # loop NEIGHBORHOOD's map points under the corrected pose — the
+        # reference requires 40 vs its 20 Sim3 inliers (LoopClosing.cc:
+        # 389-401), so default to the same 2x proportion of min_matches
+        self.min_total_matches = (
+            min_total_matches if min_total_matches is not None
+            else 2 * min_matches
+        )
         self.last_loop_kf_id = -1
-        self._consistent: dict[int, int] = {}   # candidate kf_id -> streak
+        # covisibility-consistency groups (LoopClosing.cc:165-220):
+        # list of (frozenset of kf ids, consistency count)
+        self._consistent_groups: list[tuple[frozenset, int]] = []
         self.loops_closed = 0
         # global BA runs in the background of subsequent frames (the
         # reference backgrounds it on a thread, LoopClosing_util.cc:213):
@@ -109,8 +120,7 @@ class LoopCloser:
         bow = self.voc.bow_vector(kf.feats["desc"], kf.feats["valid"])
         kf.bow = bow
         closed = False
-        cand = self._detect(kf, bow)
-        if cand is not None:
+        for cand in self._detect(kf, bow):
             result = self._compute_sim3(kf, cand)
             if result is not None:
                 S_cw_corr, loop_kf = result
@@ -118,14 +128,24 @@ class LoopCloser:
                 closed = True
                 self.loops_closed += 1
                 self.last_loop_kf_id = kf.id
+                break
         self.db.add(kf.id, bow)
         return closed
 
     # ------------------------------------------------------------------
     def _detect(self, kf, bow):
+        """Covisibility-consistency loop detection (LoopClosing.cc:
+        113-239): each candidate expands to its covisibility group; a
+        group is consistent with a previous keyframe's group when they
+        share a keyframe, each previous group extends at most ONE
+        current group (the reference's vbConsistentGroup dedup), and a
+        candidate is returned once its chain of group-consistent
+        detections reaches `consistency` consecutive keyframes. Returns
+        the list of enough-consistent candidate keyframes (possibly
+        empty)."""
         if kf.id < self.last_loop_kf_id + 10 or len(self.db.vectors) < 5:
-            self._consistent = {}
-            return None
+            self._consistent_groups = []
+            return []
         neighbors = set(kf.covis) | {kf.id}
         # the reference's gate: candidates must score at least the WORST
         # covisible neighbour (LoopClosing.cc:141-159 minScore) — a
@@ -153,33 +173,56 @@ class LoopCloser:
         cands = self.db.query(
             bow, max(min_score, MIN_SCORE_FLOOR), exclude=neighbors
         )
-        new_consistent = {}
-        chosen = None
+        if not cands:
+            # no candidates resets the chains (LoopClosing.cc:157-160)
+            self._consistent_groups = []
+            return []
+        new_groups: list[tuple[frozenset, int]] = []
+        used_prev = [False] * len(self._consistent_groups)
+        enough: list = []
         for cand_id, _score in cands[:10]:
-            # consistency streak: candidate (or its covis group) seen before
             cand_kf = self.map.keyframes.get(cand_id)
             if cand_kf is None or cand_kf.bad:
                 continue
-            group = set(cand_kf.covis) | {cand_id}
-            streak = 1 + max(
-                (self._consistent.get(g, 0) for g in group), default=0
-            )
-            for g in group:
-                new_consistent[g] = max(new_consistent.get(g, 0), streak)
-            if streak >= self.consistency and chosen is None:
-                chosen = cand_kf
-        self._consistent = new_consistent
-        return chosen
+            group = frozenset(cand_kf.covis) | {cand_id}
+            consistent_some = False
+            enough_this = False
+            for iG, (prev_set, prev_n) in enumerate(self._consistent_groups):
+                if group & prev_set:
+                    consistent_some = True
+                    n_cur = prev_n + 1
+                    if not used_prev[iG]:
+                        new_groups.append((group, n_cur))
+                        used_prev[iG] = True
+                    if n_cur >= self.consistency and not enough_this:
+                        enough.append(cand_kf)
+                        enough_this = True
+            if not consistent_some:
+                new_groups.append((group, 0))
+        self._consistent_groups = new_groups
+        return enough
 
     # ------------------------------------------------------------------
     def _compute_sim3(self, kf, cand_kf):
+        """Sim(3) hypothesis + the reference's two geometric acceptance
+        stages: Horn RANSAC on matched 3D pairs (Sim3Solver), then a
+        mutual-reprojection GN refinement whose both-directions chi2
+        inlier count must reach min_matches (OptimizeSim3,
+        Optimizer.cc:1045-1180), then a neighborhood projection gate —
+        the loop keyframe's covisibility-group map points projected into
+        the current keyframe under the corrected pose must yield
+        min_total_matches descriptor matches (SearchByProjection + the
+        nTotalMatches>=40 gate, LoopClosing.cc:370-401). The last two
+        stages are what candidate persistence + Horn alone cannot give:
+        perceptual aliasing with locally-identical structure passes
+        RANSAC but fails the neighborhood gate."""
         idx, _ = matcher.match_features(
             {k: jnp.asarray(v) for k, v in kf.feats.items()},
             {k: jnp.asarray(v) for k, v in cand_kf.feats.items()},
             max_dist=matcher.TH_LOW,
         )
         idx = np.asarray(idx)
-        p_cur, p_cand = [], []
+        p_cur, p_cand, uv_cur, uv_cand = [], [], [], []
         for i in np.nonzero(idx >= 0)[0]:
             pid_cur = kf.map_point_ids[i]
             pid_cand = cand_kf.map_point_ids[idx[i]]
@@ -193,6 +236,8 @@ class LoopCloser:
             x_cand = cand_kf.T_cw[:3, :3] @ pm.position + cand_kf.T_cw[:3, 3]
             p_cur.append(x_cur)
             p_cand.append(x_cand)
+            uv_cur.append(kf.feats["xy"][i])
+            uv_cand.append(cand_kf.feats["xy"][idx[i]])
         if len(p_cur) < self.min_matches:
             return None
         S_12, inliers = sim3_mod.ransac_sim3(
@@ -201,9 +246,97 @@ class LoopCloser:
         )
         if S_12 is None:
             return None
+        # mutual-reprojection refinement over ALL matched pairs, seeded
+        # by the RANSAC fit; inliers must hold in BOTH directions. Used
+        # as the ACCEPTANCE GATE only: the propagated correction keeps
+        # Horn's inlier-refit pose. The reference propagates
+        # OptimizeSim3's pose because its Sim3Solver fits just 3 points;
+        # our Horn refit already uses every 3D inlier (metrically
+        # optimal under the map), and the map, not the stale pixel
+        # observations, is the authority the essential graph + GBA
+        # propagate — a 201-KF A/B measured the reprojection-refined
+        # pose WORSE by 0.04 m / 0.14 deg at the anchor, which the
+        # 100-KF lever arm amplified to meters of far-tail error.
+        intr = np.asarray(self.intrinsics)[:4]
+        _, _, n_inl, chi2_th = sim3_mod.refine_sim3_reproj(
+            S_12, np.asarray(p_cur), np.asarray(p_cand),
+            np.asarray(uv_cur), np.asarray(uv_cand),
+            fix_scale=self.fix_scale, intrinsics=intr,
+        )
+        if n_inl < self.min_matches:
+            return None
         # corrected current pose: world -> cand cam -> current cam
         S_cw_corr = (S_12 @ cand_kf.T_cw).astype(np.float32)
+        # the projection search radius carries the refinement's measured
+        # consistency tolerance (sqrt of the adaptive chi2 gate),
+        # quantized to multiples of the reference's 10 px so the jitted
+        # matcher compiles a bounded set of radii
+        radius = 10.0 * float(np.ceil(np.sqrt(chi2_th) / 10.0))
+        if self._neighborhood_matches(kf, cand_kf, S_cw_corr, radius) \
+                < self.min_total_matches:
+            return None
         return S_cw_corr, cand_kf
+
+    # loop-neighborhood projection gate caps (fixed compile shape)
+    NEIGH_PT_CAP = 2048
+
+    def _neighborhood_matches(self, kf, loop_kf, S_cw_corr,
+                              radius: float = 10.0) -> int:
+        """Count current-KF keypoints matched by descriptor to the loop
+        keyframe's covisibility-group map points projected under the
+        corrected pose (ORBmatcher::SearchByProjection with radius 10,
+        LoopClosing.cc:370-389). A true revisit shares its whole
+        SURROUNDINGS with the loop neighborhood; an aliased lookalike
+        shares only the repeated structure and undershoots this count."""
+        pts, descs, seen = [], [], set()
+        for nb_id in [loop_kf.id] + list(loop_kf.covis):
+            nb = self.map.keyframes.get(nb_id)
+            if nb is None or nb.bad:
+                continue
+            for pid in nb.map_point_ids:
+                if pid < 0 or pid in seen:
+                    continue
+                seen.add(pid)
+                p = self.map.points.get(int(pid))
+                if p is None or p.bad:
+                    continue
+                pts.append(p.position)
+                descs.append(p.descriptor)
+                if len(pts) >= self.NEIGH_PT_CAP:
+                    break
+            if len(pts) >= self.NEIGH_PT_CAP:
+                break
+        if not pts:
+            return 0
+        C = self.NEIGH_PT_CAP
+        n = len(pts)
+        pos = np.zeros((C, 3), np.float32)
+        pos[:n] = np.stack(pts)
+        desc = np.zeros((C, 8), np.uint32)
+        desc[:n] = np.stack(descs)
+        valid = np.zeros(C, np.float32)
+        valid[:n] = 1.0
+        # project under the CORRECTED Sim(3) camera pose
+        pc = pos @ S_cw_corr[:3, :3].T + S_cw_corr[:3, 3]
+        z = np.maximum(pc[:, 2], 1e-6)
+        intr = np.asarray(self.intrinsics)
+        u = intr[0] * pc[:, 0] / z + intr[2]
+        v = intr[1] * pc[:, 1] / z + intr[3]
+        w, h = 2.0 * intr[2], 2.0 * intr[3]
+        in_img = (
+            (pc[:, 2] > 0.1) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        ).astype(np.float32)
+        proj = np.stack([u, v], -1).astype(np.float32)
+        m_idx, _ = matcher.match_by_projection(
+            jnp.asarray(proj), jnp.asarray(valid * in_img),
+            jnp.asarray(desc), jnp.zeros(C, jnp.int32),
+            {k: jnp.asarray(v_) for k, v_ in kf.feats.items()},
+            radius=radius, max_dist=matcher.TH_LOW, ratio=None,
+        )
+        m_idx = np.asarray(m_idx)
+        # distinct current keypoints matched (the reference counts
+        # matched mvpCurrentMatchedPoints slots)
+        return len(set(int(j) for j in m_idx[:n] if j >= 0))
 
     # ------------------------------------------------------------------
     def _correct_loop(self, kf, loop_kf, S_cw_corr):
