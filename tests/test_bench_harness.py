@@ -67,6 +67,7 @@ def test_degraded_first_attempt_retries_and_records_both():
     m._upload_ms = lambda: 900.0  # sick right after the first attempt
     fps_seq = iter(
         [(6.4, _info(median_fps=7.0)), (11.2, _info(median_fps=17.0)),
+         (11.0, _info(ate_rmse_cm=4.0)),  # --ba_no_objects A/B arm
          (20.0, _info()), (12.0, _info()), (12.0, _info(drop_rate=0.2)),
          (6.5, _loop_info())]
     )
@@ -78,8 +79,10 @@ def test_degraded_first_attempt_retries_and_records_both():
     out = json.loads(buf.getvalue())
     assert out["value"] == 11.2 and out["median_fps"] == 17.0
     assert out["fps_degraded_attempt"] == 6.4
-    assert out["relay_after_attempt_ms"] == 900.0
+    assert out["relay_after_degraded_ms"] == 900.0
     assert out["relay_upload_ms_466KB"] == 22.0  # the winning attempt's window
+    # the joint-BA A/B arm is recorded against the chosen headline
+    assert out["ate_joint_cm"] == 1.0 and out["ate_points_only_cm"] == 4.0
 
 
 def test_retry_that_loses_keeps_first_headline_and_records_retry():
@@ -89,6 +92,7 @@ def test_retry_that_loses_keeps_first_headline_and_records_retry():
     m._upload_ms = lambda: 900.0
     fps_seq = iter(
         [(6.4, _info(median_fps=7.0)), (5.8, _info(median_fps=6.0)),
+         (11.0, _info()),  # --ba_no_objects A/B arm
          (20.0, _info()), (12.0, _info()), (12.0, _info(drop_rate=0.2)),
          (6.5, _loop_info())]
     )
@@ -146,7 +150,8 @@ def test_slow_but_healthy_does_not_retry():
         m.main()
     out = json.loads(buf.getvalue())
     assert out["value"] == 8.0 and "fps_degraded_attempt" not in out
-    assert len(calls) == 5  # headline + 2 mono + paced + loop, no retry
+    # headline + BA A/B + 2 mono + paced + loop, no retry
+    assert len(calls) == 6
 
 
 def test_stall_poisoned_mean_retries_even_with_healthy_post_probe():
@@ -161,6 +166,7 @@ def test_stall_poisoned_mean_retries_even_with_healthy_post_probe():
     fps_seq = iter(
         [(0.6, _info(median_fps=9.8, max_frame_ms=48000.0)),
          (11.0, _info(median_fps=17.0)),
+         (11.0, _info()),  # --ba_no_objects A/B arm
          (20.0, _info()), (12.0, _info()), (12.0, _info(drop_rate=0.2)),
          (6.5, _loop_info())]
     )
