@@ -105,10 +105,19 @@ def place_spheres(traj):
     return np.asarray(out, np.float32)
 
 
-DYN_SPEED = 0.25     # m/frame: ~1.25 m per 5-frame keyframe gap, above
-                     # the 1.0 m camera-frame motion that flips a young
-                     # object to dynamic (association.classify_measurement,
-                     # LocalMapping_util.cc:100-151)
+DYN_SPEED = 0.5      # m/frame (18 km/h at 10 fps). The classification
+                     # window is tight BY REFERENCE DESIGN
+                     # (LocalMapping_util.cc:100-151): only a YOUNG
+                     # object (<=2 observations) flips to dynamic, and
+                     # only when per-keyframe-gap motion exceeds 1.0 m —
+                     # a mature object that jumps is disassociated as a
+                     # false match instead. 0.5 m/frame crosses 1.0 m by
+                     # the first re-observation (gap >= 2 frames) while
+                     # the static-prediction error at a 5-frame gap
+                     # (2.5 m) stays inside the 5 m association gate;
+                     # the r5 instrumented trace showed 0.25 m/frame sat
+                     # below the young-window threshold and cycled
+                     # disassociate -> ghost static object forever.
 
 
 def dynamic_sphere_traj(traj, n_frames):
@@ -591,8 +600,11 @@ def main(argv=None):
 
     refined = []
     for obj in system.map.objects.values():
-        if obj.bad or obj.dynamic or obj.vertices is None \
-                or len(obj.vertices) == 0:
+        # unlike the live pass, a missing/empty LIVE mesh does not skip:
+        # the converged code can still decode offline — an empty 33^3
+        # live grid with a good 64^3 offline mesh is precisely the
+        # discretization signal this metric exists to expose
+        if obj.bad or obj.dynamic or obj.code is None:
             continue
         sdf = np.asarray(mesh_mod.decode_sdf_grid(
             decoder_fn, decoder_params,

@@ -34,8 +34,15 @@ def _bucket(n: int, cap: int) -> int:
     return min(b, cap)
 
 MIN_PTS_RECON = 50
-CULL_MIN_OBS = 2          # objects seen fewer times within window get culled
-CULL_WINDOW_KFS = 10
+# Recent-object culling (MapObjectCulling, LocalMapping_util.cc:29-62):
+# a static object must accumulate MORE than CULL_MAX_OBS keyframe
+# observations within CULL_WINDOW_KFS keyframes of creation or it is
+# culled; past the window it graduates and is never re-checked. The
+# aggressive 2-KF window is what removes the "ghost" a mover leaves
+# behind when its track disassociates (the spawn-point object stops
+# accumulating observations and dies two keyframes later).
+CULL_MAX_OBS = 2
+CULL_WINDOW_KFS = 2
 
 
 class ObjectPipeline:
@@ -51,6 +58,7 @@ class ObjectPipeline:
         extract_meshes: bool = True,
         voxels_dim: int = 32,
         calibrate_scale_init: bool = True,
+        max_shape_refinements: int = 6,
     ):
         self.map = slam_map
         self.decoder_fn = decoder_fn
@@ -59,6 +67,18 @@ class ObjectPipeline:
         self.caps = (max_detections, max_surface_points, max_rays)
         self.batched_recon = gn.batched_reconstruct(decoder_fn, gn_config)
         self.batched_pose = gn.batched_estimate_pose(decoder_fn, gn_config)
+        # Continuing shape refinement: the reference re-runs the FULL
+        # joint reconstruct_object on every new observation of an
+        # existing object, warm-started from the object's current code
+        # (LocalMapping_util.cc:391 `pyOptimizer.attr("reconstruct_
+        # object")(..., pMO->vShapeCode)`). One-shot 10-iteration fits
+        # leave real convergence error on the table (measured: 16 cm
+        # chamfer at 10 iters vs 4 cm at 40 from the same seed); each
+        # warm-started re-observation adds iterations AND a new
+        # viewpoint, which breaks the single-view depth/scale ambiguity.
+        # Bounded per object: a converged code stops improving, so
+        # refinement stops paying for itself after a handful of views.
+        self.max_shape_refinements = max_shape_refinements
         # Decoder-calibrated initial scale for new-object GN: the zero
         # code decodes to the decoder's mean shape, whose canonical
         # half-extent e0 depends entirely on the training family. The
@@ -117,6 +137,11 @@ class ObjectPipeline:
             )
             np.asarray(pose_out["t_cam_obj"])
             np.asarray(recon_out["loss"])
+        if self.extract_meshes:
+            # the mesher's grid decode is its own program (static
+            # vol_dim): without this, the FIRST new object's mesh
+            # dispatch pays its compile mid-run (cold compilation cache)
+            np.asarray(self.mesher.dispatch(np.zeros(L, np.float32)))
 
     def process_keyframe(self, kf, local_kf_ids: list[int]):
         """Run association + measurement GN + new-object reconstruction."""
@@ -156,7 +181,7 @@ class ObjectPipeline:
         assoc, new_idx, bad_idx = association.associate_detections_centroid(
             kf, local_objects, kf.T_cw, frame_gap=max(frame_gap, 1.0)
         )
-        measured = self._dispatch_measure(kf, assoc)
+        measured = self._dispatch_measure(kf, assoc, frame_gap)
         recon = self._dispatch_recon(
             kf, [i for i in new_idx if i not in bad_idx]
         )
@@ -230,9 +255,20 @@ class ObjectPipeline:
                 t_init[slot, :3, :3] *= s_star / s_det
         return t_init
 
-    def _dispatch_measure(self, kf, assoc):
+    def _dispatch_measure(self, kf, assoc, frame_gap: float = 1.0):
         """Pose-only GN for ALL associated detections in one batched
-        device program -> SE3 T_co measurements (dispatch only)."""
+        device program -> SE3 T_co measurements (dispatch only).
+
+        Dynamic objects warm-start from the constant-velocity PREDICTED
+        pose, not the stale last-keyframe pose (the reference seeds its
+        per-observation optimization from the predicted flow too,
+        Tracking_util.cc:108-110): at bench speeds a 5-frame gap leaves
+        the static init ~2.5 m behind the object and 10 GN iterations
+        under-converge (measured dynamic_obj_err 119 cm from the stale
+        init vs GN fit noise from the predicted one). The
+        classification triage still compares against the UN-predicted
+        pose (classify_measurement), so the static/dynamic verdict is
+        unchanged."""
         entries = [
             (det_idx, obj)
             for det_idx, obj in assoc.items()
@@ -257,14 +293,59 @@ class ObjectPipeline:
             n = min(det.num_surface_points, P)
             pts[i, :n] = det.surface_points[:n]
             mask[i, :n] = 1.0
-            t_init[i] = (kf.T_cw @ obj.T_wo_se3).astype(np.float32)
+            T_wo = obj.T_wo_se3
+            if obj.dynamic:
+                T_wo = T_wo.copy()
+                T_wo[:3, 3] = T_wo[:3, 3] + obj.velocity * frame_gap
+            t_init[i] = (kf.T_cw @ T_wo).astype(np.float32)
             scales[i] = obj.scale
             codes[i] = obj.code[: self.cfg.code_len]
         out = self.batched_pose(
             self.decoder_params, jnp.asarray(t_init), jnp.asarray(scales),
             jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(codes),
         )
-        return entries, out
+        refine = self._dispatch_refine(kf, entries)
+        return entries, out, refine
+
+    def _dispatch_refine(self, kf, entries):
+        """Warm-started joint recon for re-observed STATIC objects (the
+        reference's per-observation re-reconstruction,
+        LocalMapping_util.cc:391): code_init = the object's current
+        code, pose init = its predicted Sim(3). Dispatch only — applied
+        in _apply_measure for detections whose triage says STATIC (a
+        dynamic verdict discards the refine slot: its pose moved, so
+        the static-predicted init optimized the wrong problem)."""
+        cand = [
+            (det_idx, obj) for det_idx, obj in entries
+            if not obj.dynamic
+            and obj.n_shape_refinements < self.max_shape_refinements
+            and kf.detections[det_idx].rays is not None
+            and kf.detections[det_idx].num_surface_points >= MIN_PTS_RECON
+        ]
+        if not cand:
+            return None
+        B_cap, P, R = self.caps
+        cand = cand[:B_cap]
+        B = _bucket(len(cand), B_cap)
+        dets = [kf.detections[i] for i, _ in cand]
+        batch = pad_detections(dets, B, P, R)
+        t_init = np.asarray(batch["t_cam_obj"])
+        codes = np.zeros((B, self.cfg.code_len), np.float32)
+        for slot, (_, obj) in enumerate(cand):
+            t_init[slot] = (kf.T_cw @ obj.T_wo).astype(np.float32)
+            codes[slot] = obj.code[: self.cfg.code_len]
+        out = self.batched_recon(
+            self.decoder_params,
+            jnp.asarray(t_init),
+            jnp.asarray(batch["pts"]),
+            jnp.asarray(batch["pts_mask"]),
+            jnp.asarray(batch["rays"]),
+            jnp.asarray(batch["ray_mask"]),
+            jnp.asarray(batch["depth"]),
+            jnp.asarray(batch["fg_mask"]),
+            jnp.asarray(codes),
+        )
+        return cand, out
 
     def _apply_measure(self, kf, pending, frame_gap: float = 1.0):
         """Apply the batched pose-only GN results with the reference's
@@ -272,15 +353,17 @@ class ObjectPipeline:
         LocalMapping_util.cc:100-151)."""
         if pending is None:
             return
-        entries, out = pending
+        entries, out, refine = pending
         t_all = np.asarray(out["t_cam_obj"])
         T_wc = np.linalg.inv(kf.T_cw)
+        static_dets: set[int] = set()
         for i, (det_idx, obj) in enumerate(entries):
             T_co = t_all[i]
             if not np.all(np.isfinite(T_co)):
                 continue
             verdict = association.classify_measurement(obj, T_co, kf.T_cw)
             if verdict == association.STATIC_MEASUREMENT:
+                static_dets.add(det_idx)
                 kf.detections[det_idx].T_co_se3_measured = T_co
                 # refine the map object's SE3 pose from this measurement
                 obj.set_pose_se3((T_wc @ T_co).astype(np.float32))
@@ -298,6 +381,39 @@ class ObjectPipeline:
                 obj.observations.pop(kf.id, None)
                 continue
             obj.n_observed += 1
+        self._apply_refine(kf, refine, static_dets)
+
+    def _apply_refine(self, kf, refine, static_dets: set):
+        """Write back warm-started re-reconstructions for detections the
+        triage kept as STATIC (UpdateReconstruction,
+        LocalMapping_util.cc:425-430): pose + code move to the joint
+        optimum and the mesh re-extracts (deferred, like new objects)."""
+        if refine is None:
+            return
+        cand, out = refine
+        t_all = np.asarray(out["t_cam_obj"])
+        codes = np.asarray(out["code"])
+        good = np.asarray(out["is_good"])
+        T_wc = np.linalg.inv(kf.T_cw)
+        for slot, (det_idx, obj) in enumerate(cand):
+            if (
+                det_idx not in static_dets
+                or obj.bad
+                or obj.dynamic
+                or not good[slot]
+                or not np.all(np.isfinite(t_all[slot]))
+            ):
+                continue
+            obj.set_pose_sim3((T_wc @ t_all[slot]).astype(np.float32))
+            obj.code = codes[slot].astype(np.float32)
+            obj.n_shape_refinements += 1
+            kf.detections[det_idx].T_co_se3_measured = self._se3_of(
+                t_all[slot]
+            )
+            if self.extract_meshes:
+                self._pending_meshes.append(
+                    (obj, self.mesher.dispatch(obj.code))
+                )
 
     # ------------------------------------------------------------------
     def _dispatch_recon(self, kf, new_indices):
@@ -393,7 +509,10 @@ class ObjectPipeline:
         """Drop stale low-evidence objects (MapObjectCulling rules,
         LocalMapping_util.cc:29-82). Dynamic objects must be re-observed
         continuously: unseen for >= 2 keyframes -> culled and the map's
-        dynamic counter decremented (LocalMapping_util.cc:41-48, 66-80)."""
+        dynamic counter decremented (LocalMapping_util.cc:41-48, 66-80).
+        Recent STATIC objects must earn > CULL_MAX_OBS observations
+        within CULL_WINDOW_KFS keyframes of creation
+        (LocalMapping_util.cc:54-60 cnThObs); older ones graduated."""
         for obj in list(self.map.objects.values()):
             if obj.bad:
                 continue
@@ -405,5 +524,6 @@ class ObjectPipeline:
                     self.map.n_dynamic_objects -= 1
                 continue
             age = kf.id - obj.ref_kf_id
-            if age >= CULL_WINDOW_KFS and len(obj.observations) < CULL_MIN_OBS:
+            if age >= CULL_WINDOW_KFS and age < CULL_WINDOW_KFS + 2 \
+                    and len(obj.observations) <= CULL_MAX_OBS:
                 self.map.erase_object(obj.id)

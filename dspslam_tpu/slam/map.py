@@ -209,6 +209,11 @@ class MapObject:
         self.point_ids: set[int] = set()
         self.replaced_by: Optional[int] = None
         self.n_observed = 1
+        # warm-started joint-GN re-reconstructions applied so far (the
+        # reference re-runs reconstruct_object on every new observation,
+        # LocalMapping_util.cc:391; the pipeline bounds it — see
+        # ObjectPipeline.max_shape_refinements)
+        self.n_shape_refinements = 0
         self.set_pose_sim3(T_wo_sim3)
 
     def set_pose_sim3(self, T_wo: np.ndarray):
