@@ -192,6 +192,7 @@ def _measure():
             meshes_skipped=info.get("meshes_skipped"),
             obj_center_err_cm=info.get("obj_center_err_cm"),
             dynamic_obj_err_cm=info.get("dynamic_obj_err_cm"),
+            dynamic_pred_err_cm=info.get("dynamic_pred_err_cm"),
             n_dynamic=info.get("n_dynamic"),
             # self-attribution: steady-state per-stage wall clock.
             # stage_ms.result_fetch p50/p95 is the in-run link-health

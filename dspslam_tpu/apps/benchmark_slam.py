@@ -641,13 +641,15 @@ def main(argv=None):
     # live instead of unit-tested only
     dyn_errs = []
     for obj in system.map.objects.values():
-        if obj.bad or not obj.dynamic or not obj.observations:
+        if obj.bad or not obj.dynamic:
             continue
-        last_kf_id = max(
-            (k for k in obj.observations if k in system.map.keyframes),
-            default=None,
-        )
-        if last_kf_id is None:
+        # the pose corresponds to the last APPLIED measurement, not the
+        # last association: a too-sparse detection records an observation
+        # without moving the pose (association.py:73 vs MIN_PTS_ASSOCIATED),
+        # and comparing a stale pose against later-keyframe GT charges the
+        # tracker velocity * keyframe_gap of fictitious error
+        last_kf_id = obj.last_measured_kf_id
+        if last_kf_id is None or last_kf_id not in system.map.keyframes:
             continue
         frame_k = int(round(
             system.map.keyframes[last_kf_id].timestamp / 0.1
@@ -658,6 +660,15 @@ def main(argv=None):
         ))
     dynamic_obj_err_cm = (
         round(float(np.mean(dyn_errs)) * 100, 2) if dyn_errs else None
+    )
+    # constant-velocity prediction quality: |predicted - measured| center
+    # per dynamic update — the warm start both the associator gate and
+    # the pose GN consume (Tracking_util.cc:108-110)
+    pred_errs = getattr(
+        system.local_mapper.object_pipeline, "dyn_pred_errs", []
+    )
+    dynamic_pred_err_cm = (
+        round(float(np.mean(pred_errs)) * 100, 2) if pred_errs else None
     )
 
     n_det = channel.calls if channel else 0
@@ -692,6 +703,7 @@ def main(argv=None):
         "ba_objects": not args.ba_no_objects,
         "mesh_chamfer_refined_cm": mesh_chamfer_refined_cm,
         "dynamic_obj_err_cm": dynamic_obj_err_cm,
+        "dynamic_pred_err_cm": dynamic_pred_err_cm,
         "n_dynamic": len(dyn_errs),
         # self-attribution: steady-state wall clock per stage.
         # result_fetch = device->host wait (the in-run relay-health

@@ -184,6 +184,7 @@ class MonoObjectPipeline:
                 continue
             T_wo_new = np.linalg.inv(kf.T_cw) @ best["t_cam_obj"]
             obj.set_pose_sim3(T_wo_new.astype(np.float32))
+            obj.last_measured_kf_id = kf.id
             obj.code = best["code"]
             obj.has_valid_pose = True
             self.reconstructed.add(obj_id)

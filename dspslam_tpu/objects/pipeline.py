@@ -104,6 +104,9 @@ class ObjectPipeline:
         self.last_kf_frame_id: int | None = None
         # deferred mesh extractions: (obj, device sdf-grid handle)
         self._pending_meshes: list = []
+        # |predicted - measured| center per dynamic update (m): the
+        # constant-velocity model's live prediction quality
+        self.dyn_pred_errs: list[float] = []
 
     # ------------------------------------------------------------------
     def warmup_buckets(self, buckets=None):
@@ -367,13 +370,26 @@ class ObjectPipeline:
                 kf.detections[det_idx].T_co_se3_measured = T_co
                 # refine the map object's SE3 pose from this measurement
                 obj.set_pose_se3((T_wc @ T_co).astype(np.float32))
+                obj.last_measured_kf_id = kf.id
             elif verdict == association.DYNAMIC_UPDATE:
-                if not obj.dynamic:
+                if obj.dynamic:
+                    # constant-velocity prediction quality: |predicted -
+                    # measured| center at this keyframe (the warm-start
+                    # the GN and the associator both consume) — only for
+                    # already-dynamic objects (at the static->dynamic
+                    # transition the velocity is not yet estimated)
+                    pred = obj.T_wo_se3[:3, 3] + obj.velocity * frame_gap
+                    meas = (T_wc @ T_co)[:3, 3]
+                    self.dyn_pred_errs.append(
+                        float(np.linalg.norm(pred - meas))
+                    )
+                else:
                     obj.dynamic = True
                     self.map.n_dynamic_objects += 1
                 association.update_dynamic_object(
                     obj, T_co, kf.T_cw, frame_gap
                 )
+                obj.last_measured_kf_id = kf.id
             else:  # DISASSOCIATE: a mature static object jumped — the
                 # centroid gate matched the wrong object
                 # (LocalMapping_util.cc:144-149)
@@ -465,6 +481,7 @@ class ObjectPipeline:
             T_wo = (T_wc @ t_cam_obj[slot]).astype(np.float32)
             obj = MapObject(T_wo, codes[slot], kf.id)
             obj.observations[kf.id] = det_idx
+            obj.last_measured_kf_id = kf.id
             kf.object_associations[det_idx] = obj.id
             kf.detections[det_idx].T_co_se3_measured = self._se3_of(
                 t_cam_obj[slot]

@@ -204,6 +204,13 @@ class MapObject:
         self.bad = False
         self.dynamic = False
         self.velocity = np.zeros(3, np.float32)
+        # keyframe id of the last APPLIED pose measurement. Associations
+        # with too few surface points to measure still record an entry in
+        # `observations` (association.py:73) but leave the pose untouched;
+        # consumers that compare the pose against ground truth at an
+        # observation time must use this id, not max(observations) — for
+        # a dynamic object the mismatch is velocity * keyframe_gap.
+        self.last_measured_kf_id: Optional[int] = None
         self.vertices: Optional[np.ndarray] = None
         self.faces: Optional[np.ndarray] = None
         self.point_ids: set[int] = set()

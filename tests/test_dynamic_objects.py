@@ -187,6 +187,102 @@ class TestPerFrameGapAssociation:
         )
         assert m.n_dynamic_objects == 1
 
+    def test_sparse_observation_does_not_stamp_last_measured(self):
+        """An association whose detection is too sparse to measure
+        (< MIN_PTS_ASSOCIATED surface points) records an observation but
+        must NOT update last_measured_kf_id: the pose still corresponds
+        to the previous measurement, and consumers comparing it to GT at
+        an observation time (benchmark dynamic_obj_err) would otherwise
+        charge the tracker velocity * keyframe_gap of fictitious error."""
+        from dspslam_tpu.models import deepsdf
+        from dspslam_tpu.objects.pipeline import ObjectPipeline
+        from dspslam_tpu.shape import gn
+
+        m = Map()
+        pipe = ObjectPipeline(
+            m, deepsdf.sphere_decoder_fn,
+            deepsdf.make_sphere_params(code_len=8),
+            gn.GNConfig(code_len=8, num_iterations=2,
+                        pose_only_iterations=3),
+            max_detections=4, max_surface_points=64, max_rays=32,
+            extract_meshes=False,
+        )
+        T_wo = np.eye(4, dtype=np.float32)
+        T_wo[:3, 3] = [0.0, 0.0, 10.0]
+        obj = MapObject(T_wo, np.zeros(8, np.float32), 0)
+        obj.dynamic = True
+        obj.velocity = np.array([0.5, 0.0, 0.0], np.float32)
+        m.add_object(obj)
+        m.n_dynamic_objects = 1
+        kf0 = make_kf()
+        kf0.frame_id = 100
+        m.add_keyframe(kf0)
+        kf0.object_associations[0] = obj.id
+        obj.observations[kf0.id] = 0
+        obj.last_measured_kf_id = kf0.id
+        pipe.last_kf_frame_id = 100
+
+        kf = make_kf()
+        kf.frame_id = 101
+        m.add_keyframe(kf)
+        det = make_detection([0.5, 0.0, 10.0],
+                             n_pts=association.MIN_PTS_ASSOCIATED - 1)
+        kf.detections = [det]
+        pending = pipe.dispatch_keyframe(kf, [kf0.id, kf.id])
+        pipe.apply_keyframe(kf, pending)
+        assert obj.observations.get(kf.id) == 0          # associated
+        assert obj.last_measured_kf_id == kf0.id         # but unmeasured
+        np.testing.assert_allclose(obj.T_wo[:3, 3], [0.0, 0.0, 10.0])
+
+    def test_dynamic_updates_accumulate_prediction_error(self):
+        """Each dynamic update on an already-dynamic object records the
+        constant-velocity prediction residual |predicted - measured| in
+        pipe.dyn_pred_errs (the benchmark's dynamic_pred_err_cm), and
+        stamps last_measured_kf_id."""
+        from dspslam_tpu.models import deepsdf
+        from dspslam_tpu.objects.pipeline import ObjectPipeline
+        from dspslam_tpu.shape import gn
+
+        m = Map()
+        pipe = ObjectPipeline(
+            m, deepsdf.sphere_decoder_fn,
+            deepsdf.make_sphere_params(code_len=8),
+            gn.GNConfig(code_len=8, num_iterations=2,
+                        pose_only_iterations=3),
+            max_detections=4, max_surface_points=64, max_rays=32,
+            extract_meshes=False,
+        )
+        T_wo = np.eye(4, dtype=np.float32)
+        T_wo[:3, 3] = [0.0, 0.0, 10.0]
+        obj = MapObject(T_wo, np.zeros(8, np.float32), 0)
+        obj.dynamic = True
+        obj.velocity = np.array([0.5, 0.0, 0.0], np.float32)
+        m.add_object(obj)
+        m.n_dynamic_objects = 1
+        kf0 = make_kf()
+        kf0.frame_id = 100
+        m.add_keyframe(kf0)
+        kf0.object_associations[0] = obj.id
+        obj.observations[kf0.id] = 0
+        pipe.last_kf_frame_id = 100
+
+        kf = make_kf()
+        kf.frame_id = 101
+        m.add_keyframe(kf)
+        rng = np.random.default_rng(0)
+        dirs = rng.normal(size=(64, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        center = np.array([0.5, 0.0, 10.0], np.float32)
+        det = make_detection(center, n_pts=64)
+        det.surface_points = center + 0.5 * dirs
+        kf.detections = [det]
+        pending = pipe.dispatch_keyframe(kf, [kf0.id, kf.id])
+        pipe.apply_keyframe(kf, pending)
+        assert obj.last_measured_kf_id == kf.id
+        assert len(pipe.dyn_pred_errs) == 1
+        # prediction 10.0+0.5*1 matches the measured center up to GN fit
+        assert pipe.dyn_pred_errs[0] < 0.15
+
     def test_dynamic_object_culled_when_unobserved(self):
         from dspslam_tpu.models import deepsdf
         from dspslam_tpu.objects.pipeline import ObjectPipeline
